@@ -1,0 +1,385 @@
+"""The Overcooked transition as one pure, branchless, jit-compiled function.
+
+Semantics reproduce the reference `OvercookedGridworld.get_state_transition`
+(reference overcooked_mdp.py:1375-1709) bit-for-bit:
+
+  1. resolve_interacts (:1432): players resolve INTERACT sequentially in
+     index order against a shared mutating state, but all usefulness
+     classifiers read a *pot-state snapshot taken before any interact*
+     (pot_states computed once at :1439).
+  2. resolve_movement (:1644): all players move simultaneously; if ANY
+     same-cell or swap collision exists, ALL players keep their old
+     positions (orientations still update) (:1673-1709).
+  3. step_environment_effects (:1691): timestep++, old-dynamics auto-start
+     (hardcoded `len(ingredients) == 3`, :1699), cooking soups tick.
+
+The per-player interact resolution is a Python-unrolled loop over a static
+player count; every branch of the reference's if/elif tree becomes a
+predicated `jnp.where` / scatter at the single faced cell, so the whole
+step is a fixed XLA program with no data-dependent control flow -- ready for
+`vmap` over an env batch and `lax.scan` over the horizon.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from overcooked_ai_tpu.core.constants import (
+    ACTION_INTERACT,
+    DIR_VECTORS,
+    EVENT_TYPES,
+    MAX_NUM_INGREDIENTS,
+    NUM_EVENTS,
+    OBJ_DISH,
+    OBJ_NONE,
+    OBJ_ONION,
+    OBJ_SOUP,
+    OBJ_TOMATO,
+    TERRAIN_COUNTER,
+    TERRAIN_DISH_DISP,
+    TERRAIN_EMPTY,
+    TERRAIN_ONION_DISP,
+    TERRAIN_POT,
+    TERRAIN_SERVE,
+    TERRAIN_TOMATO_DISP,
+)
+from overcooked_ai_tpu.core.layout import Layout
+from overcooked_ai_tpu.core.state import State
+
+
+class StepInfo(NamedTuple):
+    """Per-step outputs mirroring the reference `mdp_infos` dict."""
+
+    sparse_reward: jnp.ndarray  # (P,) int32, per-agent delivery reward
+    shaped_reward: jnp.ndarray  # (P,) int32, per-agent shaped reward
+    events: jnp.ndarray  # (NUM_EVENTS, P) bool, EVENT_TYPES order
+
+
+def _slot_counts(slots):
+    """(..., 3) ingredient slots -> (n_onions, n_tomatoes)."""
+    n_o = jnp.sum(slots == OBJ_ONION, axis=-1)
+    n_t = jnp.sum(slots == OBJ_TOMATO, axis=-1)
+    return n_o, n_t
+
+
+class _PotSnapshot(NamedTuple):
+    """Aggregates of pot contents taken before any interact resolves.
+
+    Mirrors `get_pot_states` (reference overcooked_mdp.py:1809-1838) reduced
+    to the counts the usefulness classifiers consume (:2180-2254).
+    """
+
+    n_full: jnp.ndarray  # cooking + ready + idle-with-MAX items (:1875)
+    n_nonempty_noncapped: jnp.ndarray  # ready + cooking + partially-full (:2199)
+
+
+def _pot_snapshot(layout: Layout, state: State) -> _PotSnapshot:
+    is_pot = layout.terrain == TERRAIN_POT
+    has_soup = is_pot & (state.obj == OBJ_SOUP)
+    n_o, n_t = _slot_counts(state.soup_ing)
+    n_ing = n_o + n_t
+    cook_time = layout.time_table[n_o, n_t]
+    idle = state.soup_tick < 0
+    ready = has_soup & ~idle & (state.soup_tick >= cook_time)
+    cooking = has_soup & ~idle & ~ready
+    partially_full = has_soup & idle & (n_ing >= 1) & (n_ing < MAX_NUM_INGREDIENTS)
+    full_idle = has_soup & idle & (n_ing == MAX_NUM_INGREDIENTS)
+    return _PotSnapshot(
+        n_full=jnp.sum(cooking | ready | full_idle),
+        n_nonempty_noncapped=jnp.sum(ready | cooking | partially_full),
+    )
+
+
+def step(layout: Layout, state: State, actions: jnp.ndarray):
+    """One exact Overcooked transition.
+
+    Args:
+        layout: static per-layout tables (Layout pytree).
+        state: current State.
+        actions: (P,) int32 action indices (0..5).
+
+    Returns:
+        (next_state, StepInfo)
+    """
+    num_players = state.pos.shape[0]
+    two_player = num_players == 2  # usefulness classifiers are 2-player only
+
+    pos, orient, held = state.pos, state.orient, state.held
+    held_soup, held_soup_tick = state.held_soup, state.held_soup_tick
+    obj, soup_ing, soup_tick = state.obj, state.soup_ing, state.soup_tick
+
+    sparse = jnp.zeros((num_players,), jnp.int32)
+    shaped = jnp.zeros((num_players,), jnp.int32)
+    events = jnp.zeros((NUM_EVENTS, num_players), jnp.bool_)
+
+    snap = _pot_snapshot(layout, state)
+    dir_vectors = jnp.asarray(DIR_VECTORS)
+    zero_slots = jnp.zeros((MAX_NUM_INGREDIENTS,), jnp.int32)
+
+    # ------------------------------------------------------------------
+    # 1. resolve_interacts: sequential per-player, unrolled at trace time
+    # ------------------------------------------------------------------
+    for i in range(num_players):
+        act_i = actions[i]
+        inter = act_i == ACTION_INTERACT
+        face = pos[i] + dir_vectors[orient[i]]
+        fx, fy = face[0], face[1]
+        tt = layout.terrain[fy, fx]
+
+        cell_obj = obj[fy, fx]
+        cell_slots = soup_ing[fy, fx]
+        cell_tick = soup_tick[fy, fx]
+        c_no, c_nt = _slot_counts(cell_slots)
+        c_n = c_no + c_nt
+        cell_cook_time = layout.time_table[c_no, c_nt]
+        cell_is_soup = cell_obj == OBJ_SOUP
+        cell_idle = cell_tick < 0
+        cell_ready = cell_is_soup & ~cell_idle & (cell_tick >= cell_cook_time)
+
+        held_i = held[i]
+        has_obj = held_i != OBJ_NONE
+
+        # --- branch predicates (reference :1458-1577) ---
+        counter_drop = inter & (tt == TERRAIN_COUNTER) & has_obj & (cell_obj == OBJ_NONE)
+        counter_pickup = inter & (tt == TERRAIN_COUNTER) & ~has_obj & (cell_obj != OBJ_NONE)
+        onion_disp = inter & (tt == TERRAIN_ONION_DISP) & ~has_obj
+        tomato_disp = inter & (tt == TERRAIN_TOMATO_DISP) & ~has_obj
+        dish_disp = inter & (tt == TERRAIN_DISH_DISP) & ~has_obj
+        start_cook = (
+            inter
+            & (tt == TERRAIN_POT)
+            & ~has_obj
+            & ~layout.old_dynamics
+            & cell_is_soup
+            & cell_idle
+            & (c_n > 0)
+        )
+        soup_pickup = (
+            inter & (tt == TERRAIN_POT) & (held_i == OBJ_DISH) & cell_ready
+        )
+        pot_try = (
+            inter
+            & (tt == TERRAIN_POT)
+            & ((held_i == OBJ_ONION) | (held_i == OBJ_TOMATO))
+        )
+        # `not soup.is_full` == idle and count < MAX (reference :547-551);
+        # an empty pot cell counts as a fresh idle soup (:1544-1546).
+        pot_ok = pot_try & (
+            (cell_obj == OBJ_NONE) | (cell_is_soup & cell_idle & (c_n < MAX_NUM_INGREDIENTS))
+        )
+        deliver = inter & (tt == TERRAIN_SERVE) & (held_i == OBJ_SOUP)
+
+        # --- usefulness classifiers, evaluated BEFORE this player's own
+        # mutation (reference logs pickups/drops before performing, :1456) ---
+        if two_player:
+            other = 1 - i
+            other_held = held[other]
+            num_pots = layout.num_pots
+            all_pots_full = snap.n_full == num_pots
+            no_full_pots = snap.n_full == 0
+            dishes_on_counters = jnp.sum(obj == OBJ_DISH)  # dishes only sit on counters
+            num_player_dishes = jnp.sum(held == OBJ_DISH)
+            # is_dish_pickup_useful (reference :2180-2204)
+            dish_pickup_useful = (dishes_on_counters == 0) & (
+                num_player_dishes < snap.n_nonempty_noncapped
+            )
+            # is_dish_drop_useful (:2206-2221)
+            dish_drop_useful = no_full_pots & ~(other_held == OBJ_ONION)
+            # is_ingredient_pickup_useful (:2223-2237)
+            ing_pickup_useful = ~(all_pots_full & ~(other_held == OBJ_DISH))
+            # is_ingredient_drop_useful (:2239-2254)
+            ing_drop_useful = all_pots_full & ~(other_held == OBJ_DISH)
+        else:
+            f = jnp.asarray(False)
+            dish_pickup_useful = dish_drop_useful = f
+            ing_pickup_useful = ing_drop_useful = f
+
+        # --- event flags (EVENT_TYPES order, reference :1027-1058) ---
+        ev = {}
+        picked = lambda code: counter_pickup & (cell_obj == code)  # noqa: E731
+        dropped = lambda code: counter_drop & (held_i == code)  # noqa: E731
+        ev["onion_pickup"] = picked(OBJ_ONION) | onion_disp
+        # NOTE: tomato dispenser pickups are NOT logged (reference :1496-1498)
+        ev["tomato_pickup"] = picked(OBJ_TOMATO)
+        ev["dish_pickup"] = picked(OBJ_DISH) | dish_disp
+        ev["soup_pickup"] = picked(OBJ_SOUP) | soup_pickup
+        ev["onion_drop"] = dropped(OBJ_ONION)
+        ev["tomato_drop"] = dropped(OBJ_TOMATO)
+        ev["dish_drop"] = dropped(OBJ_DISH)
+        ev["soup_drop"] = dropped(OBJ_SOUP)
+        ev["useful_onion_pickup"] = ev["onion_pickup"] & ing_pickup_useful
+        ev["useful_tomato_pickup"] = ev["tomato_pickup"] & ing_pickup_useful
+        ev["useful_dish_pickup"] = ev["dish_pickup"] & dish_pickup_useful
+        ev["useful_onion_drop"] = ev["onion_drop"] & ing_drop_useful
+        ev["useful_tomato_drop"] = ev["tomato_drop"] & ing_drop_useful
+        ev["useful_dish_drop"] = ev["dish_drop"] & dish_drop_useful
+        ev["soup_delivery"] = deliver
+
+        # potting events + outcome labels (reference log_object_potting
+        # :2121-2140, outcome fns :2256-2308) via the opt_value table
+        pot_onion = pot_ok & (held_i == OBJ_ONION)
+        pot_tomato = pot_ok & (held_i == OBJ_TOMATO)
+        # old soup counts: empty cell -> (0, 0)
+        old_no = jnp.where(cell_obj == OBJ_NONE, 0, c_no)
+        old_nt = jnp.where(cell_obj == OBJ_NONE, 0, c_nt)
+        new_no = old_no + (held_i == OBJ_ONION)
+        new_nt = old_nt + (held_i == OBJ_TOMATO)
+        old_val = layout.opt_value[old_no, old_nt]
+        new_val = layout.opt_value[new_no, new_nt]
+        optimal = old_val == new_val
+        viable = new_val > 0
+        catastrophic = (old_val > 0) & (new_val == 0)
+        useless = old_val == 0
+        ev["potting_onion"] = pot_onion
+        ev["potting_tomato"] = pot_tomato
+        ev["optimal_onion_potting"] = pot_onion & optimal
+        ev["optimal_tomato_potting"] = pot_tomato & optimal
+        ev["viable_onion_potting"] = pot_onion & viable
+        ev["viable_tomato_potting"] = pot_tomato & viable
+        ev["catastrophic_onion_potting"] = pot_onion & catastrophic
+        ev["catastrophic_tomato_potting"] = pot_tomato & catastrophic
+        ev["useless_onion_potting"] = pot_onion & useless
+        ev["useless_tomato_potting"] = pot_tomato & useless
+
+        events = events.at[:, i].set(
+            jnp.stack([ev[name] for name in EVENT_TYPES])
+        )
+
+        # --- rewards ---
+        h_no, h_nt = _slot_counts(held_soup[i])
+        sparse = sparse.at[i].add(
+            jnp.where(deliver, layout.delivery_value[h_no, h_nt], 0)
+        )
+        shaped = shaped.at[i].add(
+            jnp.where(dish_disp & dish_pickup_useful, layout.dish_pickup_rew, 0)
+            + jnp.where(soup_pickup, layout.soup_pickup_rew, 0)
+            + jnp.where(pot_ok, layout.placement_in_pot_rew, 0)
+        )
+
+        # --- state mutations ---
+        new_held_i = jnp.where(
+            counter_drop | deliver | pot_ok,
+            OBJ_NONE,
+            jnp.where(
+                counter_pickup,
+                cell_obj,
+                jnp.where(
+                    onion_disp,
+                    OBJ_ONION,
+                    jnp.where(
+                        tomato_disp,
+                        OBJ_TOMATO,
+                        jnp.where(
+                            dish_disp,
+                            OBJ_DISH,
+                            jnp.where(soup_pickup, OBJ_SOUP, held_i),
+                        ),
+                    ),
+                ),
+            ),
+        )
+        gained_cell_soup = (counter_pickup & cell_is_soup) | soup_pickup
+        new_held_soup_i = jnp.where(
+            gained_cell_soup,
+            cell_slots,
+            jnp.where(counter_drop | deliver, zero_slots, held_soup[i]),
+        )
+        new_held_tick_i = jnp.where(
+            gained_cell_soup,
+            cell_tick,
+            jnp.where(counter_drop | deliver, -1, held_soup_tick[i]),
+        )
+
+        new_cell_obj = jnp.where(
+            counter_drop,
+            held_i,
+            jnp.where(
+                counter_pickup | soup_pickup,
+                OBJ_NONE,
+                jnp.where(pot_ok, OBJ_SOUP, cell_obj),
+            ),
+        )
+        # append potted ingredient at first free slot (slot index == count)
+        slot_iota = jnp.arange(MAX_NUM_INGREDIENTS, dtype=jnp.int32)
+        potted_slots = jnp.where(
+            slot_iota == jnp.where(cell_obj == OBJ_NONE, 0, c_n),
+            held_i,
+            jnp.where(cell_obj == OBJ_NONE, zero_slots, cell_slots),
+        )
+        new_cell_slots = jnp.where(
+            counter_drop & (held_i == OBJ_SOUP),
+            held_soup[i],
+            jnp.where(
+                counter_pickup | soup_pickup,
+                zero_slots,
+                jnp.where(pot_ok, potted_slots, cell_slots),
+            ),
+        )
+        new_cell_tick = jnp.where(
+            counter_drop & (held_i == OBJ_SOUP),
+            held_soup_tick[i],
+            jnp.where(
+                counter_pickup | soup_pickup,
+                -1,
+                jnp.where(
+                    start_cook, 0, jnp.where(pot_ok, -1, cell_tick)
+                ),
+            ),
+        )
+
+        held = held.at[i].set(new_held_i)
+        held_soup = held_soup.at[i].set(new_held_soup_i)
+        held_soup_tick = held_soup_tick.at[i].set(new_held_tick_i)
+        obj = obj.at[fy, fx].set(new_cell_obj)
+        soup_ing = soup_ing.at[fy, fx].set(new_cell_slots)
+        soup_tick = soup_tick.at[fy, fx].set(new_cell_tick)
+
+    # ------------------------------------------------------------------
+    # 2. resolve_movement (reference :1644-1709)
+    # ------------------------------------------------------------------
+    is_dir = actions < 4
+    deltas = dir_vectors[jnp.minimum(actions, 4)]
+    new_orient = jnp.where(is_dir, actions, orient)
+    cand = pos + deltas
+    cand_ok = layout.terrain[cand[:, 1], cand[:, 0]] == TERRAIN_EMPTY
+    new_pos = jnp.where((is_dir & cand_ok)[:, None], cand, pos)
+    # any same-cell or swap collision reverts ALL positions (:1705-1709)
+    same = (new_pos[:, None, :] == new_pos[None, :, :]).all(-1)
+    swapped = (new_pos[:, None, :] == pos[None, :, :]).all(-1) & (
+        pos[:, None, :] == new_pos[None, :, :]
+    ).all(-1)
+    off_diag = ~jnp.eye(num_players, dtype=bool)
+    collision = ((same | swapped) & off_diag).any()
+    final_pos = jnp.where(collision, pos, new_pos)
+
+    # ------------------------------------------------------------------
+    # 3. step_environment_effects (reference :1691-1703)
+    # ------------------------------------------------------------------
+    g_no, g_nt = _slot_counts(soup_ing)
+    g_n = g_no + g_nt
+    is_soup = obj == OBJ_SOUP
+    # old dynamics: auto-start at exactly 3 ingredients (hardcoded, :1699)
+    auto_start = layout.old_dynamics & is_soup & (soup_tick < 0) & (g_n == 3)
+    tick1 = jnp.where(auto_start, 0, soup_tick)
+    cook_time = layout.time_table[g_no, g_nt]
+    cooking = is_soup & (tick1 >= 0) & (tick1 < cook_time)
+    tick2 = jnp.where(cooking, tick1 + 1, tick1)
+
+    next_state = State(
+        pos=final_pos,
+        orient=new_orient,
+        held=held,
+        held_soup=held_soup,
+        held_soup_tick=held_soup_tick,
+        obj=obj,
+        soup_ing=soup_ing,
+        soup_tick=tick2,
+        t=state.t + 1,
+    )
+    return next_state, StepInfo(sparse, shaped, events)
+
+
+step_jit = jax.jit(step)
