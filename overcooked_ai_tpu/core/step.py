@@ -13,11 +13,22 @@ Semantics reproduce the reference `OvercookedGridworld.get_state_transition`
   3. step_environment_effects (:1691): timestep++, old-dynamics auto-start
      (hardcoded `len(ingredients) == 3`, :1699), cooking soups tick.
 
-The per-player interact resolution is a Python-unrolled loop over a static
-player count; every branch of the reference's if/elif tree becomes a
-predicated `jnp.where` / scatter at the single faced cell, so the whole
-step is a fixed XLA program with no data-dependent control flow -- ready for
-`vmap` over an env batch and `lax.scan` over the horizon.
+TPU-first design notes:
+
+* No gathers, no scatters. Every dynamic cell access is a one-hot mask
+  reduction over the (tiny) H*W grid and every table lookup is a mask
+  reduction over a 16-entry table, so the whole step lowers to fused
+  elementwise VPU ops -- no data-dependent control flow, no scatter
+  machinery.
+* The step is written for ONE env; batch it with
+  `jax.vmap(step, in_axes=(None, -1, -1), out_axes=-1)` so the env batch
+  lands on the *minor* (lane) dimension. With batch-minor layout a
+  (H*W, B) op tiles perfectly onto the 8x128 VPU for any B that is a
+  multiple of 128; batch-major layout puts W=5 on the lanes and wastes
+  >95% of them (measured: 40x throughput difference at 16k envs).
+* The per-player interact resolution is a Python-unrolled loop over the
+  static player count; every branch of the reference's if/elif tree is a
+  predicated `jnp.where`.
 """
 
 from __future__ import annotations
@@ -60,9 +71,45 @@ class StepInfo(NamedTuple):
 
 def _slot_counts(slots):
     """(..., 3) ingredient slots -> (n_onions, n_tomatoes)."""
-    n_o = jnp.sum(slots == OBJ_ONION, axis=-1)
-    n_t = jnp.sum(slots == OBJ_TOMATO, axis=-1)
+    n_o = jnp.sum((slots == OBJ_ONION).astype(jnp.int32), axis=-1)
+    n_t = jnp.sum((slots == OBJ_TOMATO).astype(jnp.int32), axis=-1)
     return n_o, n_t
+
+
+def _t4x4(table, n_o, n_t):
+    """Lookup a (4,4) int table at dynamic (n_o, n_t) indices of any shape
+    without a gather: 16-way one-hot mask reduction (fuses into elementwise
+    VPU ops)."""
+    flat = table.reshape(-1)
+    lin = n_o * (MAX_NUM_INGREDIENTS + 1) + n_t
+    iota = jnp.arange(flat.shape[0], dtype=jnp.int32)
+    return jnp.sum(jnp.where(lin[..., None] == iota, flat, 0), axis=-1)
+
+
+def _cell_mask(num_cells, lin_idx):
+    """One-hot (H*W,) bool mask for a dynamic flat cell index."""
+    return jnp.arange(num_cells, dtype=jnp.int32) == lin_idx
+
+
+def _mread(flat_grid, mask):
+    """Read a cell via mask reduction. flat_grid: (HW,) or (HW, K)."""
+    if flat_grid.ndim == 1:
+        return jnp.sum(jnp.where(mask, flat_grid, 0))
+    return jnp.sum(jnp.where(mask[:, None], flat_grid, 0), axis=0)
+
+
+def _mwrite(flat_grid, mask, pred, val):
+    """Predicated cell write via mask select."""
+    if flat_grid.ndim == 1:
+        return jnp.where(mask & pred, val, flat_grid)
+    return jnp.where((mask & pred)[:, None], val, flat_grid)
+
+
+def _dir_delta(code):
+    """Direction/action code -> (dx, dy) via 6-way mask reduction."""
+    vecs = jnp.asarray(DIR_VECTORS)  # (6, 2)
+    onehot = (jnp.arange(6, dtype=jnp.int32) == code)[:, None]
+    return jnp.sum(jnp.where(onehot, vecs, 0), axis=0)
 
 
 class _PotSnapshot(NamedTuple):
@@ -76,25 +123,8 @@ class _PotSnapshot(NamedTuple):
     n_nonempty_noncapped: jnp.ndarray  # ready + cooking + partially-full (:2199)
 
 
-def _pot_snapshot(layout: Layout, state: State) -> _PotSnapshot:
-    is_pot = layout.terrain == TERRAIN_POT
-    has_soup = is_pot & (state.obj == OBJ_SOUP)
-    n_o, n_t = _slot_counts(state.soup_ing)
-    n_ing = n_o + n_t
-    cook_time = layout.time_table[n_o, n_t]
-    idle = state.soup_tick < 0
-    ready = has_soup & ~idle & (state.soup_tick >= cook_time)
-    cooking = has_soup & ~idle & ~ready
-    partially_full = has_soup & idle & (n_ing >= 1) & (n_ing < MAX_NUM_INGREDIENTS)
-    full_idle = has_soup & idle & (n_ing == MAX_NUM_INGREDIENTS)
-    return _PotSnapshot(
-        n_full=jnp.sum(cooking | ready | full_idle),
-        n_nonempty_noncapped=jnp.sum(ready | cooking | partially_full),
-    )
-
-
 def step(layout: Layout, state: State, actions: jnp.ndarray):
-    """One exact Overcooked transition.
+    """One exact Overcooked transition for a single env.
 
     Args:
         layout: static per-layout tables (Layout pytree).
@@ -106,35 +136,55 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
     """
     num_players = state.pos.shape[0]
     two_player = num_players == 2  # usefulness classifiers are 2-player only
+    height, width = state.obj.shape
+    num_cells = height * width
 
+    terrain = layout.terrain.reshape(num_cells)
     pos, orient, held = state.pos, state.orient, state.held
     held_soup, held_soup_tick = state.held_soup, state.held_soup_tick
-    obj, soup_ing, soup_tick = state.obj, state.soup_ing, state.soup_tick
+    obj = state.obj.reshape(num_cells)
+    soup_ing = state.soup_ing.reshape(num_cells, MAX_NUM_INGREDIENTS)
+    soup_tick = state.soup_tick.reshape(num_cells)
 
     sparse = jnp.zeros((num_players,), jnp.int32)
     shaped = jnp.zeros((num_players,), jnp.int32)
     events = jnp.zeros((NUM_EVENTS, num_players), jnp.bool_)
 
-    snap = _pot_snapshot(layout, state)
-    dir_vectors = jnp.asarray(DIR_VECTORS)
-    zero_slots = jnp.zeros((MAX_NUM_INGREDIENTS,), jnp.int32)
+    # --- pot snapshot BEFORE any interact (reference :1439) ---
+    is_pot = terrain == TERRAIN_POT
+    s_no, s_nt = _slot_counts(soup_ing)
+    s_n = s_no + s_nt
+    s_cook_time = _t4x4(layout.time_table, s_no, s_nt)
+    has_soup = is_pot & (obj == OBJ_SOUP)
+    s_idle = soup_tick < 0
+    s_ready = has_soup & ~s_idle & (soup_tick >= s_cook_time)
+    s_cooking = has_soup & ~s_idle & ~s_ready
+    partially_full = has_soup & s_idle & (s_n >= 1) & (s_n < MAX_NUM_INGREDIENTS)
+    full_idle = has_soup & s_idle & (s_n == MAX_NUM_INGREDIENTS)
+    snap = _PotSnapshot(
+        n_full=jnp.sum(s_cooking | s_ready | full_idle),
+        n_nonempty_noncapped=jnp.sum(s_ready | s_cooking | partially_full),
+    )
 
     # ------------------------------------------------------------------
     # 1. resolve_interacts: sequential per-player, unrolled at trace time
     # ------------------------------------------------------------------
+    zero_slots = jnp.zeros((MAX_NUM_INGREDIENTS,), jnp.int32)
     for i in range(num_players):
         act_i = actions[i]
         inter = act_i == ACTION_INTERACT
-        face = pos[i] + dir_vectors[orient[i]]
-        fx, fy = face[0], face[1]
-        tt = layout.terrain[fy, fx]
+        delta = _dir_delta(orient[i])
+        fx = pos[i, 0] + delta[0]
+        fy = pos[i, 1] + delta[1]
+        cmask = _cell_mask(num_cells, fy * width + fx)
+        tt = _mread(terrain, cmask)
 
-        cell_obj = obj[fy, fx]
-        cell_slots = soup_ing[fy, fx]
-        cell_tick = soup_tick[fy, fx]
+        cell_obj = _mread(obj, cmask)
+        cell_slots = _mread(soup_ing, cmask)
+        cell_tick = _mread(soup_tick, cmask)
         c_no, c_nt = _slot_counts(cell_slots)
         c_n = c_no + c_nt
-        cell_cook_time = layout.time_table[c_no, c_nt]
+        cell_cook_time = _t4x4(layout.time_table, c_no, c_nt)
         cell_is_soup = cell_obj == OBJ_SOUP
         cell_idle = cell_tick < 0
         cell_ready = cell_is_soup & ~cell_idle & (cell_tick >= cell_cook_time)
@@ -227,8 +277,8 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
         old_nt = jnp.where(cell_obj == OBJ_NONE, 0, c_nt)
         new_no = old_no + (held_i == OBJ_ONION)
         new_nt = old_nt + (held_i == OBJ_TOMATO)
-        old_val = layout.opt_value[old_no, old_nt]
-        new_val = layout.opt_value[new_no, new_nt]
+        old_val = _t4x4(layout.opt_value, old_no, old_nt)
+        new_val = _t4x4(layout.opt_value, new_no, new_nt)
         optimal = old_val == new_val
         viable = new_val > 0
         catastrophic = (old_val > 0) & (new_val == 0)
@@ -251,7 +301,7 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
         # --- rewards ---
         h_no, h_nt = _slot_counts(held_soup[i])
         sparse = sparse.at[i].add(
-            jnp.where(deliver, layout.delivery_value[h_no, h_nt], 0)
+            jnp.where(deliver, _t4x4(layout.delivery_value, h_no, h_nt), 0)
         )
         shaped = shaped.at[i].add(
             jnp.where(dish_disp & dish_pickup_useful, layout.dish_pickup_rew, 0)
@@ -259,7 +309,7 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
             + jnp.where(pot_ok, layout.placement_in_pot_rew, 0)
         )
 
-        # --- state mutations ---
+        # --- state mutations (mask-predicated; no scatters) ---
         new_held_i = jnp.where(
             counter_drop | deliver | pot_ok,
             OBJ_NONE,
@@ -330,21 +380,38 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
             ),
         )
 
+        cell_changed = (
+            counter_drop | counter_pickup | soup_pickup | pot_ok | start_cook
+        )
         held = held.at[i].set(new_held_i)
         held_soup = held_soup.at[i].set(new_held_soup_i)
         held_soup_tick = held_soup_tick.at[i].set(new_held_tick_i)
-        obj = obj.at[fy, fx].set(new_cell_obj)
-        soup_ing = soup_ing.at[fy, fx].set(new_cell_slots)
-        soup_tick = soup_tick.at[fy, fx].set(new_cell_tick)
+        obj = _mwrite(obj, cmask, cell_changed, new_cell_obj)
+        soup_ing = _mwrite(soup_ing, cmask, cell_changed, new_cell_slots)
+        soup_tick = _mwrite(soup_tick, cmask, cell_changed, new_cell_tick)
 
     # ------------------------------------------------------------------
     # 2. resolve_movement (reference :1644-1709)
     # ------------------------------------------------------------------
     is_dir = actions < 4
-    deltas = dir_vectors[jnp.minimum(actions, 4)]
+    # one-hot over the 6 action codes -> (P, 2) move deltas, rows 4/5 zero
+    act_onehot = actions[:, None] == jnp.arange(6, dtype=jnp.int32)[None, :]
+    deltas = jnp.einsum(
+        "pa,ad->pd", act_onehot.astype(jnp.int32), jnp.asarray(DIR_VECTORS)
+    )
     new_orient = jnp.where(is_dir, actions, orient)
     cand = pos + deltas
-    cand_ok = layout.terrain[cand[:, 1], cand[:, 0]] == TERRAIN_EMPTY
+    cand_lin = cand[:, 1] * width + cand[:, 0]
+    cell_iota = jnp.arange(num_cells, dtype=jnp.int32)
+    cand_ok = jnp.sum(
+        jnp.where(
+            cell_iota[None, :] == cand_lin[:, None],
+            (terrain == TERRAIN_EMPTY)[None, :],
+            False,
+        ),
+        axis=1,
+        dtype=jnp.bool_,
+    )
     new_pos = jnp.where((is_dir & cand_ok)[:, None], cand, pos)
     # any same-cell or swap collision reverts ALL positions (:1705-1709)
     same = (new_pos[:, None, :] == new_pos[None, :, :]).all(-1)
@@ -364,7 +431,7 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
     # old dynamics: auto-start at exactly 3 ingredients (hardcoded, :1699)
     auto_start = layout.old_dynamics & is_soup & (soup_tick < 0) & (g_n == 3)
     tick1 = jnp.where(auto_start, 0, soup_tick)
-    cook_time = layout.time_table[g_no, g_nt]
+    cook_time = _t4x4(layout.time_table, g_no, g_nt)
     cooking = is_soup & (tick1 >= 0) & (tick1 < cook_time)
     tick2 = jnp.where(cooking, tick1 + 1, tick1)
 
@@ -374,12 +441,23 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
         held=held,
         held_soup=held_soup,
         held_soup_tick=held_soup_tick,
-        obj=obj,
-        soup_ing=soup_ing,
-        soup_tick=tick2,
+        obj=obj.reshape(height, width),
+        soup_ing=soup_ing.reshape(height, width, MAX_NUM_INGREDIENTS),
+        soup_tick=tick2.reshape(height, width),
         t=state.t + 1,
     )
     return next_state, StepInfo(sparse, shaped, events)
 
 
 step_jit = jax.jit(step)
+
+
+def batched_step(batch_axis: int = -1):
+    """vmap the step over an env batch.
+
+    batch_axis=-1 puts the env batch on the minor (lane) dimension of every
+    array -- the TPU-native layout (see module docstring).
+    """
+    return jax.vmap(
+        step, in_axes=(None, batch_axis, batch_axis), out_axes=batch_axis
+    )
