@@ -1,0 +1,251 @@
+"""Hand-crafted state featurization (the BC / human-proxy encoding).
+
+Reproduces the reference `featurize_state`
+(reference overcooked_mdp.py:2579-2898): per player, orientation/held-object
+one-hots, (dx, dy) to the closest onion/tomato/dish/soup/serving/
+empty-counter, per-pot status blocks for the `num_pots` closest pots, wall
+bits, then cross-player concatenation with relative/absolute positions.
+
+All "closest" queries are motion-planner gridworld distances in the
+reference (min_cost_to_feature, planners.py:391-423). Here they are masked
+min/argmin lookups into the precomputed `MotionTables.feature_cost` table,
+so the whole featurization is jit/vmap-able and runs on device.
+
+Tie-breaking: the reference scans candidate locations in list order
+(dispensers in row-major terrain order first, then counter objects in
+state-dict insertion order) keeping the first strict minimum; we break ties
+in row-major cell order. These agree except when two *counter objects* tie
+exactly in cost, where the reference's winner depends on drop history.
+
+Feature vector per player (num_pots=2): 4 orientation + 4 held-object +
+2x6 closest-feature deltas + 2 closest-soup ingredient counts + 2x10 pot
+blocks + 4 walls = 46; full output per player is
+own(46) + others(46 each) + relative positions (2 each) + own absolute (2),
+= 96 for two players (reference get_featurize_state_shape,
+overcooked_mdp.py:2571-2577 -- note its docstring formula is wrong; the
+actual reference output is 96 for 2 players / 2 pots).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from overcooked_ai_tpu.core.constants import (
+    DIR_VECTORS,
+    MAX_NUM_INGREDIENTS,
+    OBJ_DISH,
+    OBJ_NONE,
+    OBJ_ONION,
+    OBJ_SOUP,
+    OBJ_TOMATO,
+    TERRAIN_COUNTER,
+    TERRAIN_DISH_DISP,
+    TERRAIN_EMPTY,
+    TERRAIN_ONION_DISP,
+    TERRAIN_POT,
+    TERRAIN_SERVE,
+    TERRAIN_TOMATO_DISP,
+)
+from overcooked_ai_tpu.core.layout import Layout
+from overcooked_ai_tpu.core.state import State
+from overcooked_ai_tpu.core.step import _slot_counts, _t4x4
+from overcooked_ai_tpu.planning.tables import INF_COST
+
+# reference IDX_TO_OBJ = ["onion", "soup", "dish", "tomato"] (:2742)
+_HELD_ONEHOT_ORDER = (OBJ_ONION, OBJ_SOUP, OBJ_DISH, OBJ_TOMATO)
+
+
+def _player_cost_map(feature_cost, pos, orient):
+    """(4, H, W, H, W) table -> (H, W) cost map for one player via a one-hot
+    contraction (lowers to a small matmul on the MXU under vmap)."""
+    four, height, width = feature_cost.shape[:3]
+    flat = feature_cost.reshape(4 * height * width, height * width)
+    lin = (orient * height + pos[1]) * width + pos[0]
+    onehot = (
+        jnp.arange(4 * height * width, dtype=jnp.int32) == lin
+    ).astype(jnp.int32)
+    return (onehot @ flat).reshape(height, width)
+
+
+def _closest(cost_map, loc_mask, px, py):
+    """Masked min/argmin: returns (found, dx, dy, argmin_onehot)."""
+    height, width = cost_map.shape
+    cost = jnp.where(loc_mask, cost_map, INF_COST).reshape(-1)
+    idx = jnp.argmin(cost)  # first occurrence = row-major tie-break
+    best = cost[idx]
+    found = best < INF_COST
+    fy, fx = idx // width, idx % width
+    dx = jnp.where(found, fx - px, 0)
+    dy = jnp.where(found, fy - py, 0)
+    onehot = (jnp.arange(height * width) == idx) & found
+    return found, dx, dy, onehot.reshape(height, width)
+
+
+def featurize(
+    layout: Layout,
+    feature_cost: jnp.ndarray,
+    state: State,
+    num_pots: int = 2,
+    dtype=jnp.float32,
+):
+    """Featurize one env state. Returns (P, F) with F = P*46 + (P-1)*2 + 2."""
+    num_players = state.pos.shape[0]
+    height, width = state.obj.shape
+    terrain = layout.terrain
+    obj = state.obj
+    i32 = jnp.int32
+
+    is_counter = terrain == TERRAIN_COUNTER
+    onion_locs = (terrain == TERRAIN_ONION_DISP) | (obj == OBJ_ONION)
+    tomato_locs = (terrain == TERRAIN_TOMATO_DISP) | (obj == OBJ_TOMATO)
+    dish_locs = (terrain == TERRAIN_DISH_DISP) | (obj == OBJ_DISH)
+    soup_locs = is_counter & (obj == OBJ_SOUP)
+    serve_locs = terrain == TERRAIN_SERVE
+    empty_counter_locs = is_counter & (obj == OBJ_NONE)
+    pot_locs = terrain == TERRAIN_POT
+
+    g_no, g_nt = _slot_counts(state.soup_ing)
+    g_n = g_no + g_nt
+    g_cook_time = _t4x4(layout.time_table, g_no, g_nt)
+    pot_has_soup = pot_locs & (obj == OBJ_SOUP)
+    pot_idle = state.soup_tick < 0
+    pot_ready = pot_has_soup & ~pot_idle & (state.soup_tick >= g_cook_time)
+    pot_cooking = pot_has_soup & ~pot_idle & ~pot_ready
+    # full = cooking | ready | idle-with-MAX (reference get_full_pots :1875)
+    pot_full = (
+        pot_cooking | pot_ready | (pot_has_soup & pot_idle & (g_n == MAX_NUM_INGREDIENTS))
+    )
+    pot_empty = pot_locs & ~pot_has_soup
+    cook_time_remaining_grid = jnp.where(
+        pot_has_soup & ~pot_idle,
+        jnp.maximum(g_cook_time - state.soup_tick, 0),
+        0,
+    )
+
+    h_no, h_nt = _slot_counts(state.held_soup)
+
+    per_player = []
+    for i in range(num_players):
+        px, py = state.pos[i, 0], state.pos[i, 1]
+        held = state.held[i]
+        cost_map = _player_cost_map(feature_cost, state.pos[i], state.orient[i])
+
+        ori = (state.orient[i] == jnp.arange(4, dtype=i32)).astype(dtype)
+        objs = jnp.stack(
+            [(held == code).astype(dtype) for code in _HELD_ONEHOT_ORDER]
+        )
+
+        feats = [ori, objs]
+
+        def closest_deltas(loc_mask, held_code):
+            held_match = held == held_code
+            found, dx, dy, onehot = _closest(cost_map, loc_mask, px, py)
+            use = ~held_match
+            return (
+                jnp.stack([dx * use, dy * use]).astype(dtype),
+                found & use,
+                onehot,
+            )
+
+        d_onion, _, _ = closest_deltas(onion_locs, OBJ_ONION)
+        d_tomato, _, _ = closest_deltas(tomato_locs, OBJ_TOMATO)
+        d_dish, _, _ = closest_deltas(dish_locs, OBJ_DISH)
+        d_soup, soup_found, soup_onehot = closest_deltas(soup_locs, OBJ_SOUP)
+        # closest-soup ingredient counts: held soup wins, else the soup
+        # object at the argmin counter cell (reference :2643-2654)
+        held_is_soup = held == OBJ_SOUP
+        soup_no = jnp.where(
+            held_is_soup,
+            h_no[i],
+            jnp.where(soup_found, jnp.sum(g_no * soup_onehot), 0),
+        )
+        soup_nt = jnp.where(
+            held_is_soup,
+            h_nt[i],
+            jnp.where(soup_found, jnp.sum(g_nt * soup_onehot), 0),
+        )
+        d_serve, _, _ = closest_deltas(serve_locs, -1)  # never held
+        d_empty_counter, _, _ = closest_deltas(empty_counter_locs, -1)
+
+        feats += [
+            d_onion,
+            d_tomato,
+            d_dish,
+            d_soup,
+            soup_no.astype(dtype)[None],
+            soup_nt.astype(dtype)[None],
+            d_serve,
+            d_empty_counter,
+        ]
+
+        # num_pots closest-pot blocks (reference :2819-2831)
+        remaining = pot_locs
+        for _ in range(num_pots):
+            found, dx, dy, onehot = _closest(cost_map, remaining, px, py)
+            sel = lambda grid: jnp.sum(grid * onehot)  # noqa: E731
+            block = jnp.stack(
+                [
+                    found.astype(dtype),
+                    (sel(pot_empty) & found).astype(dtype),
+                    (sel(pot_full) & found).astype(dtype),
+                    (sel(pot_cooking) & found).astype(dtype),
+                    (sel(pot_ready) & found).astype(dtype),
+                    jnp.where(found, sel(g_no * pot_has_soup), 0).astype(dtype),
+                    jnp.where(found, sel(g_nt * pot_has_soup), 0).astype(dtype),
+                    jnp.where(found, sel(cook_time_remaining_grid), 0).astype(
+                        dtype
+                    ),
+                    dx.astype(dtype),
+                    dy.astype(dtype),
+                ]
+            )
+            feats.append(block)
+            remaining = remaining & ~onehot
+
+        # wall bits: facing cell non-empty per direction (reference :2833-2840)
+        walls = []
+        for d in range(4):
+            dx_, dy_ = int(DIR_VECTORS[d][0]), int(DIR_VECTORS[d][1])
+            ax = px + dx_
+            ay = py + dy_
+            cell = jnp.sum(
+                jnp.where(
+                    (jnp.arange(height)[:, None] == ay)
+                    & (jnp.arange(width)[None, :] == ax),
+                    terrain,
+                    0,
+                )
+            )
+            walls.append((cell != TERRAIN_EMPTY).astype(dtype))
+        feats.append(jnp.stack(walls))
+
+        per_player.append(jnp.concatenate(feats))
+
+    out = []
+    for i in range(num_players):
+        others = [per_player[j] for j in range(num_players) if j != i]
+        rel = [
+            (state.pos[j] - state.pos[i]).astype(dtype)
+            for j in range(num_players)
+            if j != i
+        ]
+        out.append(
+            jnp.concatenate(
+                per_player[i:i + 1]
+                + others
+                + rel
+                + [state.pos[i].astype(dtype)]
+            )
+        )
+    return jnp.stack(out)
+
+
+featurize_batch = jax.vmap(
+    featurize, in_axes=(None, None, -1), out_axes=0
+)
+
+
+def get_featurize_shape(num_players: int, num_pots: int = 2):
+    per = 4 + 4 + 12 + 2 + num_pots * 10 + 4
+    return (num_players * per + (num_players - 1) * 2 + 2,)
