@@ -1,0 +1,120 @@
+"""Policy/value networks (flax) mirroring the reference architectures.
+
+`PPONet` reproduces RllibPPOModel (reference ppo/ppo_rllib.py:7-86): an
+initial 5x5 same conv, then 3x3 convs (last one 'valid'), leaky-ReLU
+everywhere, flatten, N dense hidden layers (optional D2RL concat of conv
+features), and linear logits + value heads sharing the torso
+(vf_share_layers=True, reference ppo_rllib_client.py:142).
+
+`LSTMPPONet` reproduces RllibLSTMPPOModel (ppo_rllib.py:89-237): the same
+conv/dense torso applied per timestep, an LSTM(cell_size), then linear
+logits/value heads.
+
+Compute notes: observations arrive as small integer layer stacks; they are
+cast to float32 at the input. The convs are tiny (26->25 channels over a
+~5x9 grid); XLA maps them onto the MXU as implicit GEMMs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class NetConfig:
+    """Reference model defaults (ppo_rllib_client.py:85-94)."""
+
+    num_hidden_layers: int = 3
+    size_hidden_layers: int = 64
+    num_filters: int = 25
+    num_conv_layers: int = 3
+    d2rl: bool = False
+    cell_size: int = 256  # LSTM only
+    num_actions: int = 6
+
+
+class PPONet(nn.Module):
+    cfg: NetConfig
+
+    @nn.compact
+    def __call__(self, obs):
+        """obs: (B, H, W, C) int or float -> (logits (B, A), value (B,))."""
+        x = obs.astype(jnp.float32)
+        cfg = self.cfg
+        if cfg.num_conv_layers > 0:
+            x = nn.Conv(cfg.num_filters, (5, 5), padding="SAME")(x)
+            x = nn.leaky_relu(x)
+        for i in range(cfg.num_conv_layers - 1):
+            padding = "SAME" if i < cfg.num_conv_layers - 2 else "VALID"
+            x = nn.Conv(cfg.num_filters, (3, 3), padding=padding)(x)
+            x = nn.leaky_relu(x)
+        conv_out = x.reshape(x.shape[0], -1)
+        x = conv_out
+        for i in range(cfg.num_hidden_layers):
+            if i > 0 and cfg.d2rl:
+                x = jnp.concatenate([x, conv_out], axis=-1)
+            x = nn.Dense(cfg.size_hidden_layers)(x)
+            x = nn.leaky_relu(x)
+        logits = nn.Dense(cfg.num_actions)(x)
+        value = nn.Dense(1)(x)[:, 0]
+        return logits, value
+
+
+class LSTMPPONet(nn.Module):
+    """Recurrent variant. __call__ processes a whole (B, T, ...) sequence;
+    `step` advances one timestep for rollouts."""
+
+    cfg: NetConfig
+
+    def _torso(self, x):
+        cfg = self.cfg
+        x = x.astype(jnp.float32)
+        if cfg.num_conv_layers > 0:
+            x = nn.Conv(cfg.num_filters, (5, 5), padding="SAME")(x)
+            x = nn.leaky_relu(x)
+        for i in range(cfg.num_conv_layers - 1):
+            padding = "SAME" if i < cfg.num_conv_layers - 2 else "VALID"
+            x = nn.Conv(cfg.num_filters, (3, 3), padding=padding)(x)
+            x = nn.leaky_relu(x)
+        x = x.reshape(x.shape[:-3] + (-1,))
+        for _ in range(self.cfg.num_hidden_layers):
+            x = nn.Dense(self.cfg.size_hidden_layers)(x)
+            x = nn.leaky_relu(x)
+        return x
+
+    @nn.compact
+    def __call__(self, obs_seq, carry=None):
+        """obs_seq: (B, T, H, W, C). Returns (logits (B,T,A), value (B,T),
+        final carry)."""
+        feats = self._torso(obs_seq)
+        cell = nn.OptimizedLSTMCell(self.cfg.cell_size, name="lstm")
+        batch = feats.shape[0]
+        if carry is None:
+            carry = cell.initialize_carry(
+                jax.random.PRNGKey(0), (batch, feats.shape[-1])
+            )
+
+        def scan_fn(cell, carry, x):
+            carry, y = cell(carry, x)
+            return carry, y
+
+        scanner = nn.transforms.scan(
+            scan_fn,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        carry, hs = scanner(cell, carry, feats)
+        logits = nn.Dense(self.cfg.num_actions, name="logits")(hs)
+        value = nn.Dense(1, name="values")(hs)[..., 0]
+        return logits, value, carry
+
+    def initial_carry(self, batch_size):
+        zeros = jnp.zeros((batch_size, self.cfg.cell_size), jnp.float32)
+        return (zeros, zeros)

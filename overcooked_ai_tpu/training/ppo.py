@@ -1,0 +1,371 @@
+"""On-device PPO self-play: rollout + learner fused in one jit region.
+
+Replaces the reference's Ray RLlib stack (reference rllib/rllib.py:656-782:
+30 CPU rollout workers feeding a central PPOTrainer) with an anakin-style
+actor-learner: the vectorized env, the lossless encoder, action sampling,
+GAE, and minibatch SGD all live on the TPU; one `train_iteration` call is
+one `trainer.train()` equivalent.
+
+Faithful to the reference's algorithm and hyperparameters:
+  * reward_i = summed sparse reward + factor * dense_i, dense = per-agent
+    shaped events or the potential difference (OvercookedMultiAgent.step,
+    rllib.py:293-342)
+  * linear annealing of the reward-shaping factor and entropy coefficient
+    by env timesteps (rllib.py:283-291, ppo_rllib_client.py:148-150)
+  * PPO-clip + adaptive-KL loss, value clipping, advantage standardization,
+    Adam + global-norm grad clip (RLlib PPO tf policy semantics; defaults
+    from ppo_rllib_client.py:95-177)
+  * rollout fragment = horizon = 400: each iteration collects whole
+    episodes from the standard start state, terminal at the horizon
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from overcooked_ai_tpu.core.encoding import lossless_encode
+from overcooked_ai_tpu.core.env import batch_reset
+from overcooked_ai_tpu.core.layout import Layout
+from overcooked_ai_tpu.core.step import step as env_transition
+from overcooked_ai_tpu.training.networks import NetConfig, PPONet
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Defaults = reference production config (ppo_rllib_client.py:95-233)."""
+
+    num_envs: int = 30  # train_batch_size / rollout length
+    horizon: int = 400
+    lr: float = 5e-5
+    grad_clip: float = 0.1
+    gamma: float = 0.99
+    lmbda: float = 0.98
+    vf_loss_coeff: float = 1e-4
+    vf_clip_param: float = 10.0  # rllib default
+    entropy_coeff_start: float = 0.2
+    entropy_coeff_end: float = 0.1
+    entropy_coeff_horizon: float = 3e5
+    kl_coeff: float = 0.2
+    kl_target: float = 0.01  # rllib default
+    clip_param: float = 0.05
+    num_sgd_iter: int = 8
+    sgd_minibatch_size: int = 2000  # in env steps (x2 agents = samples)
+    reward_shaping_factor: float = 1.0
+    reward_shaping_horizon: float = float("inf")
+    use_phi: bool = False
+    net: NetConfig = NetConfig()
+
+    @property
+    def train_batch_size(self):
+        return self.num_envs * self.horizon
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: tuple
+    key: jax.Array
+    env_steps: jnp.ndarray  # () float32 total env timesteps sampled
+    kl_coeff: jnp.ndarray  # () float32 adaptive KL coefficient
+
+
+class IterMetrics(NamedTuple):
+    episode_sparse_reward: jnp.ndarray  # mean per-episode summed sparse reward
+    episode_shaped_reward: jnp.ndarray  # mean per-episode summed shaped reward
+    policy_loss: jnp.ndarray
+    vf_loss: jnp.ndarray
+    kl: jnp.ndarray
+    entropy: jnp.ndarray
+    kl_coeff: jnp.ndarray
+    reward_shaping_factor: jnp.ndarray
+    entropy_coeff: jnp.ndarray
+
+
+def _anneal(start_v, curr_t, end_t, end_v=0.0, start_t=0.0):
+    """Reference OvercookedMultiAgent._anneal (rllib.py:283-291)."""
+    if end_t == 0 or end_t == float("inf"):
+        return jnp.asarray(start_v, jnp.float32)
+    frac = jnp.maximum(1.0 - (curr_t - start_t) / (end_t - start_t), 0.0)
+    return frac * start_v + (1.0 - frac) * end_v
+
+
+def make_ppo(spec, config: PPOConfig, potential_fn=None):
+    """Build (init_fn, train_iteration_fn) for a layout spec.
+
+    potential_fn(layout, state) -> (B,) float phi values; required when
+    config.use_phi (dense reward = phi(s') - phi(s), rllib.py:314-319).
+    """
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    num_players = spec.num_players
+    assert num_players == 2, "PPO self-play is 2-player (reference parity)"
+    net = PPONet(config.net)
+    height, width = spec.height, spec.width
+    B = config.num_envs
+    T = config.horizon
+    if config.use_phi:
+        assert potential_fn is not None, "use_phi requires a potential_fn"
+
+    encode = jax.vmap(lossless_encode, in_axes=(None, -1), out_axes=0)
+
+    def obs_of(state):
+        # (B, P, 26, H, W) -> (P*B, H, W, 26) player-major
+        enc = encode(layout, state)
+        enc = jnp.transpose(enc, (1, 0, 3, 4, 2))  # (P, B, H, W, 26)
+        return enc.reshape(num_players * B, height, width, 26)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adam(config.lr),
+    )
+
+    def init_fn(key) -> TrainState:
+        key, sub = jax.random.split(key)
+        dummy = jnp.zeros((1, height, width, 26), jnp.int32)
+        params = net.init(sub, dummy)
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            key=key,
+            env_steps=jnp.zeros((), jnp.float32),
+            kl_coeff=jnp.asarray(config.kl_coeff, jnp.float32),
+        )
+
+    class Transition(NamedTuple):
+        obs: jnp.ndarray  # (P*B, H, W, 26) int8
+        action: jnp.ndarray  # (P*B,)
+        logp: jnp.ndarray  # (P*B,)
+        logits: jnp.ndarray  # (P*B, A)
+        value: jnp.ndarray  # (P*B,)
+        reward: jnp.ndarray  # (P*B,) mixed reward
+        sparse: jnp.ndarray  # (B,) summed sparse (metrics)
+        shaped: jnp.ndarray  # (B,) summed shaped (metrics)
+
+    batched_transition = jax.vmap(
+        env_transition, in_axes=(None, -1, -1), out_axes=-1
+    )
+
+    def rollout(params, key, shaping_factor):
+        state0 = batch_reset(layout, B)
+
+        def body(carry, key_t):
+            state = carry
+            obs = obs_of(state)
+            logits, value = net.apply(params, obs)
+            key_a, _ = jax.random.split(key_t)
+            action = jax.random.categorical(key_a, logits)  # (P*B,)
+            logp = jax.nn.log_softmax(logits)[
+                jnp.arange(action.shape[0]), action
+            ]
+            actions_pb = action.reshape(num_players, B)
+            if config.use_phi:
+                phi_s = potential_fn(layout, state)
+            next_state, info = batched_transition(layout, state, actions_pb)
+            sparse_sum = jnp.sum(info.sparse_reward, axis=0)  # (B,)
+            if config.use_phi:
+                phi_sp = potential_fn(layout, next_state)
+                dense = jnp.broadcast_to(
+                    (phi_sp - phi_s)[None], (num_players, B)
+                )
+            else:
+                dense = info.shaped_reward.astype(jnp.float32)
+            reward = (
+                sparse_sum[None, :].astype(jnp.float32)
+                + shaping_factor * dense
+            ).reshape(num_players * B)
+            tr = Transition(
+                obs=obs.astype(jnp.int8),
+                action=action,
+                logp=logp,
+                logits=logits,
+                value=value,
+                reward=reward,
+                sparse=sparse_sum,
+                shaped=jnp.sum(info.shaped_reward, axis=0),
+            )
+            return next_state, tr
+
+        keys = jax.random.split(key, T)
+        _, traj = jax.lax.scan(body, state0, keys)
+        return traj
+
+    def gae(traj):
+        """GAE(lambda) with terminal at the horizon (no bootstrap)."""
+
+        def body(carry, tr):
+            next_adv, next_value = carry
+            delta = (
+                tr.reward + config.gamma * next_value - tr.value
+            )
+            adv = delta + config.gamma * config.lmbda * next_adv
+            return (adv, tr.value), adv
+
+        zeros = jnp.zeros_like(traj.value[0])
+        _, advantages = jax.lax.scan(
+            body, (zeros, zeros), traj, reverse=True
+        )
+        value_targets = advantages + traj.value
+        return advantages, value_targets
+
+    def loss_fn(params, batch, kl_coeff, entropy_coeff):
+        obs, action, logp_old, logits_old, value_old, adv, vt = batch
+        logits, value = net.apply(params, obs)
+        logp_all = jax.nn.log_softmax(logits)
+        logp = logp_all[jnp.arange(action.shape[0]), action]
+        ratio = jnp.exp(logp - logp_old)
+        surr = jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - config.clip_param, 1 + config.clip_param)
+            * adv,
+        )
+        policy_loss = -jnp.mean(surr)
+        # KL(old || new) between categorical distributions
+        p_old = jax.nn.softmax(logits_old)
+        kl = jnp.mean(
+            jnp.sum(p_old * (jax.nn.log_softmax(logits_old) - logp_all), -1)
+        )
+        entropy = -jnp.mean(jnp.sum(jax.nn.softmax(logits) * logp_all, -1))
+        # value clipping (rllib ppo_tf_policy semantics)
+        vf_loss1 = jnp.square(value - vt)
+        v_clipped = value_old + jnp.clip(
+            value - value_old, -config.vf_clip_param, config.vf_clip_param
+        )
+        vf_loss2 = jnp.square(v_clipped - vt)
+        vf_loss = jnp.mean(jnp.maximum(vf_loss1, vf_loss2))
+        total = (
+            policy_loss
+            + kl_coeff * kl
+            + config.vf_loss_coeff * vf_loss
+            - entropy_coeff * entropy
+        )
+        return total, (policy_loss, vf_loss, kl, entropy)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    n_samples = num_players * B * T
+    mb_size = min(num_players * config.sgd_minibatch_size, n_samples)
+    n_minibatches = n_samples // mb_size
+
+    @jax.jit
+    def train_iteration(ts: TrainState):
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+        shaping_factor = _anneal(
+            config.reward_shaping_factor,
+            ts.env_steps,
+            config.reward_shaping_horizon,
+        )
+        entropy_coeff = _anneal(
+            config.entropy_coeff_start,
+            ts.env_steps,
+            config.entropy_coeff_horizon,
+            config.entropy_coeff_end,
+        )
+        traj = rollout(ts.params, k_roll, shaping_factor)
+        advantages, value_targets = gae(traj)
+        # standardize advantages across the whole train batch (rllib
+        # standardize_fields=["advantages"])
+        advantages = (advantages - advantages.mean()) / (
+            advantages.std() + 1e-8
+        )
+
+        flat = lambda x: x.reshape((n_samples,) + x.shape[2:])  # noqa: E731
+        data = (
+            flat(traj.obs),
+            flat(traj.action),
+            flat(traj.logp),
+            flat(traj.logits),
+            flat(traj.value),
+            flat(advantages),
+            flat(value_targets),
+        )
+
+        def epoch(carry, key_e):
+            params, opt_state = carry
+            perm = jax.random.permutation(key_e, n_samples)
+
+            def minibatch(carry, idx):
+                params, opt_state, _ = carry
+                take = lambda x: x[idx]  # noqa: E731
+                batch = tuple(take(d) for d in data)
+                (_, aux), grads = grad_fn(
+                    params, batch, ts.kl_coeff, entropy_coeff
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, aux), None
+
+            idxs = perm[: n_minibatches * mb_size].reshape(
+                n_minibatches, mb_size
+            )
+            zero_aux = tuple(jnp.zeros(()) for _ in range(4))
+            (params, opt_state, aux), _ = jax.lax.scan(
+                minibatch, (params, opt_state, zero_aux), idxs
+            )
+            return (params, opt_state), aux
+
+        keys_e = jax.random.split(k_perm, config.num_sgd_iter)
+        (params, opt_state), auxes = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state), keys_e
+        )
+        policy_loss, vf_loss, kl, entropy = (a[-1] for a in auxes)
+
+        # adaptive KL coefficient update (rllib update_kl semantics)
+        kl_coeff = jnp.where(
+            kl > 2.0 * config.kl_target,
+            ts.kl_coeff * 1.5,
+            jnp.where(
+                kl < 0.5 * config.kl_target, ts.kl_coeff * 0.5, ts.kl_coeff
+            ),
+        )
+
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            key=key,
+            env_steps=ts.env_steps + B * T,
+            kl_coeff=kl_coeff,
+        )
+        metrics = IterMetrics(
+            episode_sparse_reward=jnp.sum(traj.sparse) / B,
+            episode_shaped_reward=jnp.sum(traj.shaped) / B,
+            policy_loss=policy_loss,
+            vf_loss=vf_loss,
+            kl=kl,
+            entropy=entropy,
+            kl_coeff=kl_coeff,
+            reward_shaping_factor=shaping_factor,
+            entropy_coeff=entropy_coeff,
+        )
+        return new_ts, metrics
+
+    return init_fn, train_iteration
+
+
+def train(
+    spec,
+    config: PPOConfig,
+    num_iterations: int,
+    seed: int = 0,
+    potential_fn=None,
+    log_every: int = 0,
+):
+    """Convenience loop; returns (final TrainState, list of IterMetrics)."""
+    init_fn, train_iteration = make_ppo(spec, config, potential_fn)
+    ts = init_fn(jax.random.PRNGKey(seed))
+    history = []
+    for it in range(num_iterations):
+        ts, m = train_iteration(ts)
+        m = jax.device_get(m)
+        history.append(m)
+        if log_every and (it + 1) % log_every == 0:
+            print(
+                f"iter {it + 1}: sparse_r={float(m.episode_sparse_reward):.2f} "
+                f"shaped_r={float(m.episode_shaped_reward):.2f} "
+                f"kl={float(m.kl):.4f} entropy={float(m.entropy):.3f}"
+            )
+    return ts, history
