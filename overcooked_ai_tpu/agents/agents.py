@@ -1,0 +1,205 @@
+"""Agents: functional policies over the array state, jit/vmap-able.
+
+The reference Agent framework (reference agents/agent.py:14-220) is an OO
+`action(state) -> (action, info)` protocol. Here an agent is a pure
+function `policy(key, layout, state, agent_index, carry) -> (action,
+carry)` over the array state, so whole agent-pair rollouts stay on device
+inside one scan. A thin host-side adapter (evaluation.py) gives the
+reference-style episodic API.
+
+Included:
+  RandomAgent   motion actions only by default (reference :223-261)
+  StayAgent     (:264-273)
+  FixedPlanAgent(:276-295)
+  GreedyHumanModel (:298-588) -- table-driven, see planning/greedy_tables
+  SampleAgent   prob-averaging ensemble (:591-602)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from overcooked_ai_tpu.core.constants import (
+    ACTION_INTERACT,
+    ACTION_STAY,
+    MAX_NUM_INGREDIENTS,
+    OBJ_DISH,
+    OBJ_NONE,
+    OBJ_ONION,
+    OBJ_SOUP,
+    OBJ_TOMATO,
+    TERRAIN_COUNTER,
+    TERRAIN_DISH_DISP,
+    TERRAIN_EMPTY,
+    TERRAIN_ONION_DISP,
+    TERRAIN_POT,
+    TERRAIN_SERVE,
+    TERRAIN_TOMATO_DISP,
+)
+from overcooked_ai_tpu.core.state import State
+from overcooked_ai_tpu.core.step import _slot_counts, _t4x4
+from overcooked_ai_tpu.planning.tables import INF_COST
+
+
+def random_agent_probs(all_actions: bool = False):
+    """Action probabilities of the reference RandomAgent (:236-244)."""
+    if all_actions:
+        return np.full((6,), 1 / 6, np.float32)
+    p = np.zeros((6,), np.float32)
+    p[:5] = 1 / 5  # motion actions: N,S,E,W,STAY
+    return p
+
+
+def random_agent(key, layout, state, agent_index, all_actions=False):
+    probs = jnp.asarray(random_agent_probs(all_actions))
+    return jax.random.choice(key, 6, p=probs)
+
+
+def stay_agent(key, layout, state, agent_index):
+    return jnp.asarray(ACTION_STAY, jnp.int32)
+
+
+class GreedyTables(NamedTuple):
+    feature_cost: jnp.ndarray  # (4, H, W, H, W) int32
+    first_action: jnp.ndarray  # (4, H, W, H, W) int8
+
+
+def make_greedy_human_model(spec, tables: GreedyTables, auto_unstuck=True):
+    """Returns greedy(key, layout, state, agent_index, prev_pos_or) -> action.
+
+    prev_pos_or: (P, 3) int32 [(x, y, orient)] of the previous step, or all
+    -1 on the first step (auto-unstuck history, reference agent.py:366-404).
+    Only supports the 3-onion order, like the reference (assert :519-524).
+    """
+    assert spec.sorted_all_orders == [("onion", "onion", "onion")], (
+        "GreedyHumanModel only supports the single 3-onion order "
+        f"(got {spec.sorted_all_orders})"
+    )
+    num_players = spec.num_players
+    assert num_players == 2
+
+    def greedy(key, layout, state: State, agent_index: int, prev_pos_or):
+        height, width = state.obj.shape
+        terrain = layout.terrain
+        i = agent_index
+        other = 1 - agent_index
+        obj = state.obj
+
+        # ---- pot state masks ----
+        is_pot = terrain == TERRAIN_POT
+        g_no, g_nt = _slot_counts(state.soup_ing)
+        g_n = g_no + g_nt
+        cook_time = _t4x4(layout.time_table, g_no, g_nt)
+        has_soup = is_pot & (obj == OBJ_SOUP)
+        idle = state.soup_tick < 0
+        ready = has_soup & ~idle & (state.soup_tick >= cook_time)
+        cooking = has_soup & ~idle & ~ready
+        empty_pot = is_pot & (obj == OBJ_NONE)
+        partially_full = has_soup & idle & (g_n >= 1) & (g_n < MAX_NUM_INGREDIENTS)
+        three_items = has_soup & idle & (g_n == MAX_NUM_INGREDIENTS)
+
+        held = state.held[i]
+        other_held = state.held[other]
+        soup_nearly_ready = jnp.any(ready | cooking)
+        other_has_dish = other_held == OBJ_DISH
+
+        # ---- candidate feature-cell mask per ml_action branch (:506-567) ----
+        dish_mask = (terrain == TERRAIN_DISH_DISP) | (obj == OBJ_DISH)
+        onion_mask = (terrain == TERRAIN_ONION_DISP) | (
+            (obj == OBJ_ONION) & (terrain == TERRAIN_COUNTER)
+        )
+        cookable = three_items  # order is 3 ingredients
+        no_obj_mask = jnp.where(
+            soup_nearly_ready & ~other_has_dish,
+            dish_mask,
+            jnp.where(jnp.any(cookable), cookable, onion_mask),
+        )
+        fill_mask = partially_full | empty_pot
+        held_mask = jnp.where(
+            held == OBJ_ONION,
+            fill_mask,
+            jnp.where(
+                held == OBJ_TOMATO,
+                fill_mask,
+                jnp.where(
+                    held == OBJ_DISH,
+                    ready | cooking,
+                    terrain == TERRAIN_SERVE,  # held soup
+                ),
+            ),
+        )
+        candidates = jnp.where(held == OBJ_NONE, no_obj_mask, held_mask)
+
+        # ---- cost map for this player ----
+        flat = tables.feature_cost.reshape(
+            4 * height * width, height * width
+        )
+        lin = (
+            state.orient[i] * height + state.pos[i, 1]
+        ) * width + state.pos[i, 0]
+        onehot = (jnp.arange(4 * height * width) == lin).astype(jnp.int32)
+        cost_map = (onehot @ flat).reshape(height, width)
+        fa_flat = tables.first_action.reshape(
+            4 * height * width, height * width
+        ).astype(jnp.int32)
+        action_map = (onehot @ fa_flat).reshape(height, width)
+
+        cost = jnp.where(candidates, cost_map, INF_COST).reshape(-1)
+        best = jnp.argmin(cost)
+        reachable = cost[best] < INF_COST
+
+        # fallback: closest of onion/tomato disp + pots + dish disp (:577-586)
+        feature_mask = (
+            (terrain == TERRAIN_ONION_DISP)
+            | (terrain == TERRAIN_TOMATO_DISP)
+            | is_pot
+            | (terrain == TERRAIN_DISH_DISP)
+        )
+        fcost = jnp.where(feature_mask, cost_map, INF_COST).reshape(-1)
+        fbest = jnp.argmin(fcost)
+        cell = jnp.where(reachable, best, fbest)
+        chosen = action_map.reshape(-1)[cell]
+        chosen = jnp.where(
+            reachable | (fcost[fbest] < INF_COST), chosen, ACTION_STAY
+        )
+
+        if auto_unstuck:
+            # stuck if ALL players' (pos, orient) unchanged (:369-373)
+            curr = jnp.concatenate([state.pos, state.orient[:, None]], axis=1)
+            stuck = jnp.all(curr == prev_pos_or)
+            # unblocking actions: directions that move this player given the
+            # other stays (same-cell collision with the stationary other
+            # bounces, reference :385-397)
+            ys = jnp.arange(height)[:, None]
+            xs = jnp.arange(width)[None, :]
+            unblocking = []
+            from overcooked_ai_tpu.core.constants import DIR_VECTORS
+
+            for d in range(4):
+                tx = state.pos[i, 0] + int(DIR_VECTORS[d][0])
+                ty = state.pos[i, 1] + int(DIR_VECTORS[d][1])
+                cell_t = jnp.sum(
+                    jnp.where((ys == ty) & (xs == tx), terrain, 0)
+                )
+                ok = (cell_t == TERRAIN_EMPTY) & ~(
+                    (tx == state.pos[other, 0]) & (ty == state.pos[other, 1])
+                )
+                unblocking.append(ok)
+            unblocking = jnp.stack(unblocking + [jnp.asarray(False)] * 2)
+            n_unblock = jnp.sum(unblocking)
+            # uniform choice among unblocking actions; STAY if none (:396-400)
+            r = jax.random.uniform(key)
+            csum = jnp.cumsum(unblocking.astype(jnp.float32))
+            pick = jnp.argmax(
+                (csum > r * jnp.maximum(n_unblock, 1)) & unblocking
+            )
+            unstuck_action = jnp.where(n_unblock > 0, pick, ACTION_STAY)
+            chosen = jnp.where(stuck, unstuck_action, chosen)
+
+        return chosen.astype(jnp.int32)
+
+    return greedy

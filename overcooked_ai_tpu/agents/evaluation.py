@@ -1,0 +1,221 @@
+"""Agent-pair rollouts and the canonical trajectory format.
+
+The reference AgentEvaluator (reference agents/benchmarking.py:32-578)
+drives Python agent objects step-by-step and collects a dict-of-lists
+trajectory (DEFAULT_TRAJ_KEYS, overcooked_trajectory.py:14-42). Here the
+rollout is one jitted scan over the horizon with all agents as pure
+functions and per-agent carries; games are vmapped over a batch. The host
+converts the resulting array trajectory into the reference schema (state
+dicts, action tuples) for interchange, JSON save/load included.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from overcooked_ai_tpu.core.constants import (
+    ACTION_INTERACT,
+    ACTION_STAY,
+    DIRECTION_TO_TUPLE,
+    EVENT_TYPES,
+)
+from overcooked_ai_tpu.core.env import batch_reset
+from overcooked_ai_tpu.core.state import State, state_to_dict
+from overcooked_ai_tpu.core.step import step as env_transition
+
+# reference DEFAULT_TRAJ_KEYS (overcooked_trajectory.py:14-42)
+TIMESTEP_TRAJ_KEYS = ["ep_states", "ep_actions", "ep_rewards", "ep_dones", "ep_infos"]
+EPISODE_TRAJ_KEYS = ["ep_returns", "ep_lengths", "mdp_params", "env_params"]
+DEFAULT_TRAJ_KEYS = TIMESTEP_TRAJ_KEYS + EPISODE_TRAJ_KEYS + ["metadatas"]
+
+
+class AgentFn(NamedTuple):
+    """A functional agent: policy(key, layout, state, agent_index, carry)
+    -> (action, new_carry); init_carry(batch) -> pytree."""
+
+    policy: Callable
+    init_carry: Callable = staticmethod(lambda batch: jnp.zeros((batch,)))
+
+
+def stateless(fn):
+    """Wrap a carry-less policy fn(key, layout, state, agent_index)."""
+    return AgentFn(
+        policy=lambda key, layout, state, idx, carry: (
+            fn(key, layout, state, idx),
+            carry,
+        )
+    )
+
+
+def greedy_agent_fn(greedy):
+    """AgentFn for make_greedy_human_model (carry = prev (P,3) pos/or)."""
+
+    def policy(key, layout, state, idx, carry):
+        action = greedy(key, layout, state, idx, carry)
+        return action, carry
+
+    def init_carry(batch):
+        # filled by the rollout loop after each step
+        return None
+
+    return AgentFn(policy=policy, init_carry=init_carry)
+
+
+def run_agent_pair(
+    spec,
+    agents: Sequence[AgentFn],
+    num_games: int = 1,
+    horizon: int = 400,
+    seed: int = 0,
+    greedy_carry: bool = False,
+):
+    """Roll out an agent pair for `num_games` parallel games.
+
+    greedy_carry=True threads the (P, 3) previous pos/orient carry that the
+    greedy human model's auto-unstuck logic needs (shared by all agents).
+
+    Returns a host-side dict of stacked arrays:
+      states: State pytree with leading (T, ...) and batch minor
+      actions (T, P, B), sparse/shaped (T, P, B), events (T, E, P, B)
+    """
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    num_players = spec.num_players
+    assert len(agents) == num_players
+    B = num_games
+
+    batched_transition = jax.vmap(
+        env_transition, in_axes=(None, -1, -1), out_axes=-1
+    )
+
+    def single_actions(key, state, prev_pos_or):
+        keys = jax.random.split(key, num_players)
+        acts = []
+        for i, agent in enumerate(agents):
+            a, _ = agent.policy(keys[i], layout, state, i, prev_pos_or)
+            acts.append(a)
+        return jnp.stack(acts)
+
+    batched_actions = jax.vmap(
+        single_actions, in_axes=(0, -1, -1), out_axes=-1
+    )
+
+    @jax.jit
+    def rollout(key):
+        state0 = batch_reset(layout, B)
+        prev0 = jnp.full((num_players, 3, B), -1, jnp.int32)
+
+        def body(carry, key_t):
+            state, prev = carry
+            keys_b = jax.random.split(key_t, B)
+            actions = batched_actions(keys_b, state, prev)
+            next_state, info = batched_transition(layout, state, actions)
+            new_prev = jnp.concatenate(
+                [state.pos, state.orient[:, None]], axis=1
+            )
+            out = dict(
+                state=next_state,
+                actions=actions,
+                sparse=info.sparse_reward,
+                shaped=info.shaped_reward,
+                events=info.events,
+            )
+            return (next_state, new_prev), out
+
+        keys = jax.random.split(key, horizon)
+        (final_state, _), traj = jax.lax.scan(
+            body, (state0, prev0), keys
+        )
+        return traj
+
+    traj = jax.device_get(rollout(jax.random.PRNGKey(seed)))
+    return traj
+
+
+def trajectories_to_reference_format(spec, traj, horizon=400):
+    """Convert a run_agent_pair result to the reference trajectory dict
+    (reference get_rollouts, overcooked_env.py:485-585)."""
+    actions = traj["actions"]  # (T, P, B)
+    T, P, B = actions.shape
+    index_to_action = [
+        DIRECTION_TO_TUPLE[0],
+        DIRECTION_TO_TUPLE[1],
+        DIRECTION_TO_TUPLE[2],
+        DIRECTION_TO_TUPLE[3],
+        (0, 0),
+        "interact",
+    ]
+
+    trajectories = {k: [] for k in DEFAULT_TRAJ_KEYS}
+    for b in range(B):
+        ep_actions = [
+            tuple(index_to_action[int(actions[t, p, b])] for p in range(P))
+            for t in range(T)
+        ]
+        sparse_t = traj["sparse"][..., b].sum(axis=1)  # (T,)
+        state_dicts = []
+        for t in range(T):
+            st = jax.tree.map(lambda x: np.asarray(x[t, ..., b]), _traj_state(traj))
+            state_dicts.append(state_to_dict(st, spec))
+        trajectories["ep_states"].append(state_dicts)
+        trajectories["ep_actions"].append(ep_actions)
+        trajectories["ep_rewards"].append(sparse_t.tolist())
+        trajectories["ep_dones"].append(
+            [t == T - 1 for t in range(T)]
+        )
+        trajectories["ep_infos"].append([{} for _ in range(T)])
+        trajectories["ep_returns"].append(int(sparse_t.sum()))
+        trajectories["ep_lengths"].append(T)
+        trajectories["mdp_params"].append({"layout_name": spec.name})
+        trajectories["env_params"].append({"horizon": horizon})
+    trajectories["metadatas"] = {}
+    return trajectories
+
+
+def _traj_state(traj):
+    return traj["state"]
+
+
+def game_stats_from_traj(traj, game_index=0):
+    """Reference game_stats equivalent (overcooked_env.py:308-319,382-401):
+    cumulative rewards by agent + per-event timestep lists."""
+    b = game_index
+    sparse = traj["sparse"][..., b]  # (T, P)
+    shaped = traj["shaped"][..., b]
+    events = traj["events"][..., b]  # (T, E, P)
+    stats = {
+        "cumulative_sparse_rewards_by_agent": sparse.sum(axis=0),
+        "cumulative_shaped_rewards_by_agent": shaped.sum(axis=0),
+    }
+    for e, name in enumerate(EVENT_TYPES):
+        stats[name] = [
+            np.nonzero(events[:, e, p])[0].tolist()
+            for p in range(sparse.shape[1])
+        ]
+    return stats
+
+
+def save_trajectories(trajectories, path):
+    with open(path, "w") as f:
+        json.dump(trajectories, f, default=_json_default)
+
+
+def load_trajectories(path):
+    with open(path) as f:
+        return json.load(f)
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    if isinstance(o, tuple):
+        return list(o)
+    raise TypeError(f"not serializable: {type(o)}")
