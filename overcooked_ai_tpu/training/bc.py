@@ -1,0 +1,192 @@
+"""Behavior cloning (flax): the reference's TF2 BC reimplemented.
+
+Mirrors human_aware_rl/imitation/behavior_cloning_tf2.py: an MLP (default
+2x64 relu, :357-374) or LSTM(256) (:377-420) over the 96-dim hand-crafted
+featurization -> 6-way logits, trained with sparse softmax cross-entropy,
+Adam(1e-3), batch 64, validation split 0.15, early stopping, optional class
+weights (:175-270). Save/load uses flax msgpack + a JSON metadata file
+(the reference uses .keras + metadata.pickle, :273-308).
+
+The trained policy doubles as an Overcooked agent (BC partner for PPO and
+the "human proxy" in the eval matrix) via `bc_policy_fn`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.serialization import from_bytes, to_bytes
+
+
+@dataclasses.dataclass(frozen=True)
+class BCConfig:
+    """Reference DEFAULT_MLP_PARAMS / DEFAULT_TRAINING_PARAMS
+    (behavior_cloning_tf2.py:31-44)."""
+
+    net_arch: Sequence[int] = (64, 64)
+    num_actions: int = 6
+    epochs: int = 100
+    validation_split: float = 0.15
+    batch_size: int = 64
+    learning_rate: float = 1e-3
+    use_class_weights: bool = False
+    early_stopping_patience: int = 20  # keras EarlyStopping(patience=20)
+    use_lstm: bool = False
+    cell_size: int = 256
+
+
+class BCNet(nn.Module):
+    cfg: BCConfig
+
+    @nn.compact
+    def __call__(self, x):
+        for units in self.cfg.net_arch:
+            x = nn.relu(nn.Dense(units)(x))
+        return nn.Dense(self.cfg.num_actions)(x)
+
+
+def train_bc_model(
+    obs: np.ndarray,
+    actions: np.ndarray,
+    cfg: BCConfig = BCConfig(),
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Train a BC model; returns (params, history dict)."""
+    assert not cfg.use_lstm, "LSTM BC: use train_bc_lstm (not yet needed)"
+    n = obs.shape[0]
+    rng = np.random.RandomState(seed)
+    perm = rng.permutation(n)
+    obs, actions = obs[perm], actions[perm]
+    n_val = int(n * cfg.validation_split)
+    val_obs, val_act = obs[:n_val], actions[:n_val]
+    tr_obs, tr_act = obs[n_val:], actions[n_val:]
+
+    class_weights = np.ones(cfg.num_actions, np.float32)
+    if cfg.use_class_weights:
+        counts = np.bincount(tr_act, minlength=cfg.num_actions).astype(
+            np.float64
+        )
+        class_weights = (len(tr_act) / (cfg.num_actions * np.maximum(counts, 1))).astype(
+            np.float32
+        )
+
+    net = BCNet(cfg)
+    params = net.init(jax.random.PRNGKey(seed), jnp.zeros((1, obs.shape[1])))
+    tx = optax.adam(cfg.learning_rate)
+    opt_state = tx.init(params)
+    cw = jnp.asarray(class_weights)
+
+    @jax.jit
+    def train_step(params, opt_state, bo, ba):
+        def loss_fn(p):
+            logits = net.apply(p, bo)
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, ba
+            )
+            return jnp.mean(losses * cw[ba])
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_loss(params, bo, ba):
+        logits = net.apply(params, bo)
+        loss = jnp.mean(
+            optax.softmax_cross_entropy_with_integer_labels(logits, ba)
+        )
+        acc = jnp.mean(jnp.argmax(logits, -1) == ba)
+        return loss, acc
+
+    n_train = len(tr_obs)
+    steps = max(n_train // cfg.batch_size, 1)
+    best_val, best_params, patience = np.inf, params, 0
+    history = {"loss": [], "val_loss": [], "val_acc": []}
+    for epoch in range(cfg.epochs):
+        eperm = rng.permutation(n_train)
+        ep_loss = 0.0
+        for s in range(steps):
+            idx = eperm[s * cfg.batch_size : (s + 1) * cfg.batch_size]
+            params, opt_state, loss = train_step(
+                params, opt_state, tr_obs[idx], tr_act[idx]
+            )
+            ep_loss += float(loss)
+        ep_loss /= steps
+        if n_val:
+            v_loss, v_acc = map(float, eval_loss(params, val_obs, val_act))
+        else:
+            v_loss, v_acc = ep_loss, 0.0
+        history["loss"].append(ep_loss)
+        history["val_loss"].append(v_loss)
+        history["val_acc"].append(v_acc)
+        if verbose:
+            print(
+                f"epoch {epoch}: loss {ep_loss:.4f} val {v_loss:.4f} acc {v_acc:.3f}"
+            )
+        if v_loss < best_val - 1e-5:
+            best_val, best_params, patience = v_loss, params, 0
+        else:
+            patience += 1
+            if patience >= cfg.early_stopping_patience:
+                break
+    return best_params, history
+
+
+def save_bc_model(model_dir, params, cfg: BCConfig, metadata=None):
+    os.makedirs(model_dir, exist_ok=True)
+    with open(os.path.join(model_dir, "params.msgpack"), "wb") as f:
+        f.write(to_bytes(params))
+    meta = dict(dataclasses.asdict(cfg))
+    meta["net_arch"] = list(meta["net_arch"])
+    meta.update(metadata or {})
+    with open(os.path.join(model_dir, "metadata.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_bc_model(model_dir):
+    with open(os.path.join(model_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    cfg = BCConfig(
+        **{
+            k: (tuple(v) if k == "net_arch" else v)
+            for k, v in meta.items()
+            if k in {f.name for f in dataclasses.fields(BCConfig)}
+        }
+    )
+    net = BCNet(cfg)
+    # template params: need an input dim; stored in metadata
+    obs_dim = meta["obs_dim"]
+    template = net.init(jax.random.PRNGKey(0), jnp.zeros((1, obs_dim)))
+    with open(os.path.join(model_dir, "params.msgpack"), "rb") as f:
+        params = from_bytes(template, f.read())
+    return params, cfg
+
+
+def bc_policy_fn(spec, feature_cost, params, cfg: BCConfig, stochastic=True):
+    """Wrap a BC model as a functional agent over the array state.
+
+    Returns policy(key, layout, state, agent_index) -> action, usable with
+    agents.evaluation.stateless and as a PPO partner.
+    """
+    from overcooked_ai_tpu.core.featurize import featurize
+
+    net = BCNet(cfg)
+    fc = jnp.asarray(feature_cost)
+
+    def policy(key, layout, state, agent_index):
+        feats = featurize(layout, fc, state)  # (P, F)
+        logits = net.apply(params, feats[agent_index][None])[0]
+        if stochastic:
+            return jax.random.categorical(key, logits).astype(jnp.int32)
+        return jnp.argmax(logits).astype(jnp.int32)
+
+    return policy

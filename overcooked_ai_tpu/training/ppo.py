@@ -60,6 +60,10 @@ class PPOConfig:
     reward_shaping_factor: float = 1.0
     reward_shaping_horizon: float = float("inf")
     use_phi: bool = False
+    # PPO+BC: piecewise-linear (t, bc_factor) schedule; bc_factor is the
+    # per-episode probability the partner seat is the BC policy
+    # (reference OvercookedMultiAgent bc_schedule, rllib.py:262-281,370-385)
+    bc_schedule: tuple = ((0, 0.0), (float("inf"), 0.0))
     net: NetConfig = NetConfig()
 
     @property
@@ -95,11 +99,31 @@ def _anneal(start_v, curr_t, end_t, end_v=0.0, start_t=0.0):
     return frac * start_v + (1.0 - frac) * end_v
 
 
-def make_ppo(spec, config: PPOConfig, potential_fn=None):
+def _bc_factor_at(schedule, t):
+    """Piecewise-linear bc_factor (reference anneal_bc_factor, rllib.py:370)."""
+    factor = jnp.asarray(schedule[0][1], jnp.float32)
+    for (t0, v0), (t1, v1) in zip(schedule[:-1], schedule[1:]):
+        if t1 == float("inf"):
+            seg = jnp.asarray(v0, jnp.float32)
+        else:
+            frac = jnp.clip((t - t0) / max(t1 - t0, 1e-9), 0.0, 1.0)
+            seg = (1 - frac) * v0 + frac * v1
+        factor = jnp.where(t >= t0, seg, factor)
+    return factor
+
+
+def make_ppo(spec, config: PPOConfig, potential_fn=None, bc_policy=None):
     """Build (init_fn, train_iteration_fn) for a layout spec.
 
     potential_fn(layout, state) -> (B,) float phi values; required when
     config.use_phi (dense reward = phi(s') - phi(s), rllib.py:314-319).
+
+    bc_policy(params-free): batched fn (key, layout, state_batchminor) ->
+    (P, B) int32 actions for every seat; used for BC-partner episodes when
+    config.bc_schedule gives a nonzero bc_factor. Per episode, each env
+    lane flips a coin (p = bc_factor) for whether one (uniformly chosen)
+    seat is BC-controlled; BC-controlled samples are masked out of the PPO
+    loss (reference policies_to_train={"ppo"}, rllib.py:720-760).
     """
     layout = jax.tree.map(jnp.asarray, spec.layout)
     num_players = spec.num_players
@@ -136,6 +160,10 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
             kl_coeff=jnp.asarray(config.kl_coeff, jnp.float32),
         )
 
+    use_bc = bc_policy is not None and any(
+        v for _, v in config.bc_schedule
+    )
+
     class Transition(NamedTuple):
         obs: jnp.ndarray  # (P*B, H, W, 26) int8
         action: jnp.ndarray  # (P*B,)
@@ -143,6 +171,7 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
         logits: jnp.ndarray  # (P*B, A)
         value: jnp.ndarray  # (P*B,)
         reward: jnp.ndarray  # (P*B,) mixed reward
+        mask: jnp.ndarray  # (P*B,) 1.0 for PPO-controlled samples
         sparse: jnp.ndarray  # (B,) summed sparse (metrics)
         shaped: jnp.ndarray  # (B,) summed shaped (metrics)
 
@@ -150,19 +179,32 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
         env_transition, in_axes=(None, -1, -1), out_axes=-1
     )
 
-    def rollout(params, key, shaping_factor):
+    def rollout(params, key, shaping_factor, bc_factor):
         state0 = batch_reset(layout, B)
+        key, k_bc, k_seat = jax.random.split(key, 3)
+        if use_bc:
+            is_bc = jax.random.uniform(k_bc, (B,)) < bc_factor
+            bc_seat = jax.random.randint(k_seat, (B,), 0, num_players)
+            bc_mask = (
+                jnp.arange(num_players)[:, None] == bc_seat[None, :]
+            ) & is_bc[None, :]  # (P, B)
+        else:
+            bc_mask = jnp.zeros((num_players, B), bool)
+        train_mask = (~bc_mask).reshape(num_players * B).astype(jnp.float32)
 
         def body(carry, key_t):
             state = carry
             obs = obs_of(state)
             logits, value = net.apply(params, obs)
-            key_a, _ = jax.random.split(key_t)
+            key_a, key_b = jax.random.split(key_t)
             action = jax.random.categorical(key_a, logits)  # (P*B,)
             logp = jax.nn.log_softmax(logits)[
                 jnp.arange(action.shape[0]), action
             ]
             actions_pb = action.reshape(num_players, B)
+            if use_bc:
+                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             if config.use_phi:
                 phi_s = potential_fn(layout, state)
             next_state, info = batched_transition(layout, state, actions_pb)
@@ -185,6 +227,7 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
                 logits=logits,
                 value=value,
                 reward=reward,
+                mask=train_mask,
                 sparse=sparse_sum,
                 shaped=jnp.sum(info.shaped_reward, axis=0),
             )
@@ -213,8 +256,11 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
         return advantages, value_targets
 
     def loss_fn(params, batch, kl_coeff, entropy_coeff):
-        obs, action, logp_old, logits_old, value_old, adv, vt = batch
+        obs, action, logp_old, logits_old, value_old, adv, vt, mask = batch
         logits, value = net.apply(params, obs)
+        wmean = lambda x: jnp.sum(x * mask) / jnp.maximum(  # noqa: E731
+            jnp.sum(mask), 1.0
+        )
         logp_all = jax.nn.log_softmax(logits)
         logp = logp_all[jnp.arange(action.shape[0]), action]
         ratio = jnp.exp(logp - logp_old)
@@ -223,20 +269,20 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
             jnp.clip(ratio, 1 - config.clip_param, 1 + config.clip_param)
             * adv,
         )
-        policy_loss = -jnp.mean(surr)
+        policy_loss = -wmean(surr)
         # KL(old || new) between categorical distributions
         p_old = jax.nn.softmax(logits_old)
-        kl = jnp.mean(
+        kl = wmean(
             jnp.sum(p_old * (jax.nn.log_softmax(logits_old) - logp_all), -1)
         )
-        entropy = -jnp.mean(jnp.sum(jax.nn.softmax(logits) * logp_all, -1))
+        entropy = -wmean(jnp.sum(jax.nn.softmax(logits) * logp_all, -1))
         # value clipping (rllib ppo_tf_policy semantics)
         vf_loss1 = jnp.square(value - vt)
         v_clipped = value_old + jnp.clip(
             value - value_old, -config.vf_clip_param, config.vf_clip_param
         )
         vf_loss2 = jnp.square(v_clipped - vt)
-        vf_loss = jnp.mean(jnp.maximum(vf_loss1, vf_loss2))
+        vf_loss = wmean(jnp.maximum(vf_loss1, vf_loss2))
         total = (
             policy_loss
             + kl_coeff * kl
@@ -265,13 +311,18 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
             config.entropy_coeff_horizon,
             config.entropy_coeff_end,
         )
-        traj = rollout(ts.params, k_roll, shaping_factor)
+        bc_factor = _bc_factor_at(config.bc_schedule, ts.env_steps)
+        traj = rollout(ts.params, k_roll, shaping_factor, bc_factor)
         advantages, value_targets = gae(traj)
-        # standardize advantages across the whole train batch (rllib
+        # standardize advantages across the trained samples (rllib
         # standardize_fields=["advantages"])
-        advantages = (advantages - advantages.mean()) / (
-            advantages.std() + 1e-8
+        m = traj.mask
+        m_sum = jnp.maximum(jnp.sum(m), 1.0)
+        a_mean = jnp.sum(advantages * m) / m_sum
+        a_std = jnp.sqrt(
+            jnp.sum(jnp.square(advantages - a_mean) * m) / m_sum
         )
+        advantages = (advantages - a_mean) / (a_std + 1e-8)
 
         flat = lambda x: x.reshape((n_samples,) + x.shape[2:])  # noqa: E731
         data = (
@@ -282,6 +333,7 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None):
             flat(traj.value),
             flat(advantages),
             flat(value_targets),
+            flat(traj.mask),
         )
 
         def epoch(carry, key_e):
@@ -352,10 +404,11 @@ def train(
     num_iterations: int,
     seed: int = 0,
     potential_fn=None,
+    bc_policy=None,
     log_every: int = 0,
 ):
     """Convenience loop; returns (final TrainState, list of IterMetrics)."""
-    init_fn, train_iteration = make_ppo(spec, config, potential_fn)
+    init_fn, train_iteration = make_ppo(spec, config, potential_fn, bc_policy)
     ts = init_fn(jax.random.PRNGKey(seed))
     history = []
     for it in range(num_iterations):
