@@ -112,8 +112,14 @@ def _bc_factor_at(schedule, t):
     return factor
 
 
-def make_ppo(spec, config: PPOConfig, potential_fn=None, bc_policy=None):
+def make_ppo(
+    spec, config: PPOConfig, potential_fn=None, bc_policy=None, mesh=None
+):
     """Build (init_fn, train_iteration_fn) for a layout spec.
+
+    mesh: optional jax.sharding.Mesh with a "dp" axis. The env batch
+    (minor axis) is shard-constrained over it; params stay replicated and
+    XLA inserts the gradient all-reduce (see parallel/mesh.py).
 
     potential_fn(layout, state) -> (B,) float phi values; required when
     config.use_phi (dense reward = phi(s') - phi(s), rllib.py:314-319).
@@ -181,6 +187,10 @@ def make_ppo(spec, config: PPOConfig, potential_fn=None, bc_policy=None):
 
     def rollout(params, key, shaping_factor, bc_factor):
         state0 = batch_reset(layout, B)
+        if mesh is not None:
+            from overcooked_ai_tpu.parallel.mesh import constrain_batch_minor
+
+            state0 = constrain_batch_minor(mesh, state0)
         key, k_bc, k_seat = jax.random.split(key, 3)
         if use_bc:
             is_bc = jax.random.uniform(k_bc, (B,)) < bc_factor

@@ -5,7 +5,17 @@ Must run before jax is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment pins JAX_PLATFORMS (e.g. to a TPU
+# tunnel): unit tests must be hermetic and fast. Override with
+# OVERCOOKED_TEST_PLATFORM. The site config may import jax before this
+# conftest runs, so set the config directly too (backend init is lazy, so
+# this works as long as no devices were touched yet).
+_platform = os.environ.get("OVERCOOKED_TEST_PLATFORM", "cpu")
+os.environ["JAX_PLATFORMS"] = _platform
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", _platform)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
