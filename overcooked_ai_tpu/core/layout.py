@@ -216,6 +216,9 @@ def build_layout(name: str, config: dict, **params_to_overwrite) -> LayoutSpec:
             mult = order_bonus if (n_o, n_t) in bonus_set else 1
             delivery_value[n_o, n_t] = min(base * mult, INF_VALUE)
 
+    # int8 state storage (env.compress_state) bounds the cook tick
+    assert (time_table <= 127).all(), "cook times > 127 unsupported"
+
     opt_value = np.zeros((n, n), np.int64)
     for a in range(n):
         for b in range(n):

@@ -24,6 +24,20 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# Match the reference's TF activations and initializers exactly:
+# tf.nn.leaky_relu (alpha=0.2) after convs, keras.layers.LeakyReLU()
+# (alpha=0.3) after dense layers, glorot_uniform kernel init everywhere
+# (keras defaults; flax defaults differ and noticeably slow early learning).
+_glorot = nn.initializers.glorot_uniform()
+
+
+def _conv(features, kernel, padding):
+    return nn.Conv(features, kernel, padding=padding, kernel_init=_glorot)
+
+
+def _dense(features):
+    return nn.Dense(features, kernel_init=_glorot)
+
 
 @dataclasses.dataclass(frozen=True)
 class NetConfig:
@@ -47,21 +61,21 @@ class PPONet(nn.Module):
         x = obs.astype(jnp.float32)
         cfg = self.cfg
         if cfg.num_conv_layers > 0:
-            x = nn.Conv(cfg.num_filters, (5, 5), padding="SAME")(x)
-            x = nn.leaky_relu(x)
+            x = _conv(cfg.num_filters, (5, 5), "SAME")(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
         for i in range(cfg.num_conv_layers - 1):
             padding = "SAME" if i < cfg.num_conv_layers - 2 else "VALID"
-            x = nn.Conv(cfg.num_filters, (3, 3), padding=padding)(x)
-            x = nn.leaky_relu(x)
+            x = _conv(cfg.num_filters, (3, 3), padding)(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
         conv_out = x.reshape(x.shape[0], -1)
         x = conv_out
         for i in range(cfg.num_hidden_layers):
             if i > 0 and cfg.d2rl:
                 x = jnp.concatenate([x, conv_out], axis=-1)
-            x = nn.Dense(cfg.size_hidden_layers)(x)
-            x = nn.leaky_relu(x)
-        logits = nn.Dense(cfg.num_actions)(x)
-        value = nn.Dense(1)(x)[:, 0]
+            x = _dense(cfg.size_hidden_layers)(x)
+            x = nn.leaky_relu(x, negative_slope=0.3)
+        logits = _dense(cfg.num_actions)(x)
+        value = _dense(1)(x)[:, 0]
         return logits, value
 
 
@@ -75,16 +89,16 @@ class LSTMPPONet(nn.Module):
         cfg = self.cfg
         x = x.astype(jnp.float32)
         if cfg.num_conv_layers > 0:
-            x = nn.Conv(cfg.num_filters, (5, 5), padding="SAME")(x)
-            x = nn.leaky_relu(x)
+            x = _conv(cfg.num_filters, (5, 5), "SAME")(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
         for i in range(cfg.num_conv_layers - 1):
             padding = "SAME" if i < cfg.num_conv_layers - 2 else "VALID"
-            x = nn.Conv(cfg.num_filters, (3, 3), padding=padding)(x)
-            x = nn.leaky_relu(x)
+            x = _conv(cfg.num_filters, (3, 3), padding)(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
         x = x.reshape(x.shape[:-3] + (-1,))
         for _ in range(self.cfg.num_hidden_layers):
-            x = nn.Dense(self.cfg.size_hidden_layers)(x)
-            x = nn.leaky_relu(x)
+            x = _dense(self.cfg.size_hidden_layers)(x)
+            x = nn.leaky_relu(x, negative_slope=0.2)
         return x
 
     @nn.compact

@@ -1,0 +1,109 @@
+"""PPO training CLI (the reference ppo_rllib_client.py equivalent).
+
+Examples:
+    python scripts/train_ppo.py --layout cramped_room --iters 420
+    python scripts/train_ppo.py --use-phi --iters 420 --out runs/phi
+    python scripts/train_ppo.py --local-testing   # CI-scale smoke
+
+Defaults mirror the reference production config
+(reference ppo_rllib_client.py:95-233): 30 envs x 400-step fragments
+(train batch 12000), lr 5e-5, entropy 0.2 -> 0.1 over 3e5 steps, 8 SGD
+iters, minibatch 2000, use_phi on.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layout", default="cramped_room")
+    ap.add_argument("--iters", type=int, default=420)
+    ap.add_argument("--num-envs", type=int, default=30)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--use-phi", action="store_true")
+    ap.add_argument("--old-dynamics", action="store_true")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--save-freq", type=int, default=100)
+    ap.add_argument("--local-testing", action="store_true")
+    ap.add_argument("--platform", default=None, help="cpu to force local CPU")
+    args = ap.parse_args()
+
+    if args.platform:
+        from overcooked_ai_tpu.utils.platform import force_platform
+
+        force_platform(args.platform)
+
+    import jax
+
+    from overcooked_ai_tpu.core.layout import from_layout_name
+    from overcooked_ai_tpu.training.checkpoint import (
+        MetricsLogger,
+        save_checkpoint,
+    )
+    from overcooked_ai_tpu.training.ppo import PPOConfig, make_ppo
+
+    overrides = {"old_dynamics": True} if args.old_dynamics else {}
+    spec = from_layout_name(args.layout, **overrides)
+
+    if args.local_testing:
+        config = PPOConfig(
+            num_envs=2,
+            sgd_minibatch_size=800,
+            num_sgd_iter=8,
+            entropy_coeff_start=0.0,
+            entropy_coeff_end=0.0,
+            lr=args.lr,
+            use_phi=args.use_phi,
+        )
+    else:
+        config = PPOConfig(
+            num_envs=args.num_envs, lr=args.lr, use_phi=args.use_phi
+        )
+
+    potential_fn = None
+    if args.use_phi:
+        from overcooked_ai_tpu.core.potential import make_potential_fn
+        from overcooked_ai_tpu.planning.tables import build_motion_tables
+
+        tables = build_motion_tables(spec.layout.terrain)
+        potential_fn = make_potential_fn(spec, tables.feature_cost)
+
+    out_dir = args.out or f"runs/ppo_{args.layout}_{'phi' if args.use_phi else 'shaped'}"
+    os.makedirs(out_dir, exist_ok=True)
+    log = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+
+    init_fn, train_it = make_ppo(spec, config, potential_fn)
+    ts = init_fn(jax.random.PRNGKey(args.seed))
+    print(
+        f"training {args.layout} ({'phi' if args.use_phi else 'shaped'}) "
+        f"for {args.iters} iters x {config.train_batch_size} env steps",
+        flush=True,
+    )
+    t_start = time.time()
+    for it in range(1, args.iters + 1):
+        t0 = time.time()
+        ts, m = train_it(ts)
+        m = jax.device_get(m)
+        log.log(it, m)
+        if it % 10 == 0 or it == 1:
+            print(
+                f"iter {it}: sparse={float(m.episode_sparse_reward):.1f} "
+                f"shaped={float(m.episode_shaped_reward):.1f} "
+                f"kl={float(m.kl):.4f} ent={float(m.entropy):.3f} "
+                f"({time.time() - t0:.2f}s/iter, "
+                f"{time.time() - t_start:.0f}s total)",
+                flush=True,
+            )
+        if it % args.save_freq == 0 or it == args.iters:
+            save_checkpoint(out_dir, ts, config, step=it)
+    print(f"done in {time.time() - t_start:.0f}s -> {out_dir}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

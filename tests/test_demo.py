@@ -42,7 +42,7 @@ def _get(path):
 
 
 def test_demo_game_round_trip(demo):
-    out = _post("/api/create", {"layout": "cramped_room", "game_time": 30})
+    out = _post("/api/create", {"layout": "cramped_room", "game_time": 300})
     gid = out["game_id"]
     assert out["seat"] == 0
 
@@ -53,8 +53,13 @@ def test_demo_game_round_trip(demo):
     bad2 = _post("/api/action", {"game_id": gid, "seat": 1, "action": 0})
     assert "error" in bad2  # NPC seat
 
-    time.sleep(3)  # let the 6fps loop tick with the greedy NPC
+    # wait for the 6fps loop to tick with the greedy NPC (first NPC call
+    # includes a jit compile; generous deadline for loaded CI machines)
+    deadline = time.time() + 60
     state = _get(f"/api/state?game_id={gid}")
+    while state["state"]["timestep"] <= 5 and time.time() < deadline:
+        time.sleep(1)
+        state = _get(f"/api/state?game_id={gid}")
     assert state["state"]["timestep"] > 5
     # NPC must have moved or picked something up by now
     npc = state["state"]["players"][1]
