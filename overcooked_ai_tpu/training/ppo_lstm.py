@@ -1,0 +1,272 @@
+"""Recurrent PPO self-play (reference use_lstm=True path).
+
+Mirrors RllibLSTMPPOModel training (reference ppo/ppo_rllib.py:89-237 with
+rllib's recurrent PPO semantics): the rollout threads the LSTM carry through
+time; learning uses truncated BPTT over fixed `max_seq_len`-step chunks
+(rllib max_seq_len=20) whose initial carries are the ones recorded during
+the rollout (no gradient across chunk boundaries). Loss terms are identical
+to the feed-forward learner in ppo.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from overcooked_ai_tpu.core.encoding import lossless_encode
+from overcooked_ai_tpu.core.env import batch_reset
+from overcooked_ai_tpu.core.step import step as env_transition
+from overcooked_ai_tpu.training.networks import LSTMPPONet
+from overcooked_ai_tpu.training.ppo import (
+    IterMetrics,
+    PPOConfig,
+    TrainState,
+    _anneal,
+)
+
+MAX_SEQ_LEN = 20  # rllib default
+
+
+def make_ppo_lstm(spec, config: PPOConfig):
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    num_players = spec.num_players
+    assert num_players == 2
+    net = LSTMPPONet(config.net)
+    height, width = spec.height, spec.width
+    B = config.num_envs
+    T = config.horizon
+    N = num_players * B  # sequence count
+    assert T % MAX_SEQ_LEN == 0
+
+    encode = jax.vmap(lossless_encode, in_axes=(None, -1), out_axes=0)
+
+    def obs_of(state):
+        enc = encode(layout, state)  # (B, P, 26, H, W)
+        enc = jnp.transpose(enc, (1, 0, 3, 4, 2))
+        return enc.reshape(N, height, width, 26)
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.adam(config.lr),
+    )
+
+    def init_fn(key) -> TrainState:
+        key, sub = jax.random.split(key)
+        dummy = jnp.zeros((1, 1, height, width, 26), jnp.int32)
+        carry0 = net.initial_carry(1)
+        params = net.init(sub, dummy, carry0)
+        return TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            key=key,
+            env_steps=jnp.zeros((), jnp.float32),
+            kl_coeff=jnp.asarray(config.kl_coeff, jnp.float32),
+        )
+
+    batched_transition = jax.vmap(
+        env_transition, in_axes=(None, -1, -1), out_axes=-1
+    )
+
+    def rollout(params, key, shaping_factor):
+        state0 = batch_reset(layout, B)
+        carry0 = net.initial_carry(N)
+
+        def body(carry, key_t):
+            state, lstm_carry = carry
+            obs = obs_of(state)
+            logits_seq, value_seq, new_carry = net.apply(
+                params, obs[:, None], lstm_carry
+            )
+            logits = logits_seq[:, 0]
+            value = value_seq[:, 0]
+            action = jax.random.categorical(key_t, logits)
+            logp = jax.nn.log_softmax(logits)[jnp.arange(N), action]
+            actions_pb = action.reshape(num_players, B)
+            next_state, info = batched_transition(layout, state, actions_pb)
+            sparse_sum = jnp.sum(info.sparse_reward, axis=0)
+            reward = (
+                sparse_sum[None, :].astype(jnp.float32)
+                + shaping_factor * info.shaped_reward.astype(jnp.float32)
+            ).reshape(N)
+            out = dict(
+                obs=obs.astype(jnp.int8),
+                action=action,
+                logp=logp,
+                logits=logits,
+                value=value,
+                reward=reward,
+                carry_h=lstm_carry[0],
+                carry_c=lstm_carry[1],
+                sparse=sparse_sum,
+                shaped=jnp.sum(info.shaped_reward, axis=0),
+            )
+            return (next_state, new_carry), out
+
+        keys = jax.random.split(key, T)
+        _, traj = jax.lax.scan(body, (state0, carry0), keys)
+        return traj
+
+    def gae(traj):
+        def body(carry, step_data):
+            next_adv, next_value = carry
+            reward, value = step_data
+            delta = reward + config.gamma * next_value - value
+            adv = delta + config.gamma * config.lmbda * next_adv
+            return (adv, value), adv
+
+        zeros = jnp.zeros_like(traj["value"][0])
+        _, advantages = jax.lax.scan(
+            body, (zeros, zeros), (traj["reward"], traj["value"]), reverse=True
+        )
+        return advantages, advantages + traj["value"]
+
+    n_chunks_t = T // MAX_SEQ_LEN
+    n_chunks = n_chunks_t * N
+    mb_chunks = max(
+        min(num_players * config.sgd_minibatch_size // MAX_SEQ_LEN, n_chunks),
+        1,
+    )
+    n_minibatches = max(n_chunks // mb_chunks, 1)
+
+    def loss_fn(params, batch, kl_coeff, entropy_coeff):
+        obs, action, logp_old, logits_old, value_old, adv, vt, h0, c0 = batch
+        # obs: (mb, L, H, W, 26); run the LSTM from the recorded carry
+        logits, value, _ = net.apply(params, obs, (h0, c0))
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
+        logits, value = flat(logits), flat(value)
+        action, logp_old = flat(action), flat(logp_old)
+        logits_old, value_old = flat(logits_old), flat(value_old)
+        adv, vt = flat(adv), flat(vt)
+        logp_all = jax.nn.log_softmax(logits)
+        logp = logp_all[jnp.arange(action.shape[0]), action]
+        ratio = jnp.exp(logp - logp_old)
+        surr = jnp.minimum(
+            ratio * adv,
+            jnp.clip(ratio, 1 - config.clip_param, 1 + config.clip_param)
+            * adv,
+        )
+        policy_loss = -jnp.mean(surr)
+        p_old = jax.nn.softmax(logits_old)
+        kl = jnp.mean(
+            jnp.sum(p_old * (jax.nn.log_softmax(logits_old) - logp_all), -1)
+        )
+        entropy = -jnp.mean(jnp.sum(jax.nn.softmax(logits) * logp_all, -1))
+        vf_loss1 = jnp.square(value - vt)
+        v_clipped = value_old + jnp.clip(
+            value - value_old, -config.vf_clip_param, config.vf_clip_param
+        )
+        vf_loss = jnp.mean(
+            jnp.maximum(vf_loss1, jnp.square(v_clipped - vt))
+        )
+        total = (
+            policy_loss
+            + kl_coeff * kl
+            + config.vf_loss_coeff * vf_loss
+            - entropy_coeff * entropy
+        )
+        return total, (policy_loss, vf_loss, kl, entropy)
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def train_iteration(ts: TrainState):
+        key, k_roll, k_perm = jax.random.split(ts.key, 3)
+        shaping_factor = _anneal(
+            config.reward_shaping_factor,
+            ts.env_steps,
+            config.reward_shaping_horizon,
+        )
+        entropy_coeff = _anneal(
+            config.entropy_coeff_start,
+            ts.env_steps,
+            config.entropy_coeff_horizon,
+            config.entropy_coeff_end,
+        )
+        traj = rollout(ts.params, k_roll, shaping_factor)
+        advantages, value_targets = gae(traj)
+        advantages = (advantages - advantages.mean()) / (
+            advantages.std() + 1e-8
+        )
+
+        # (T, N, ...) -> chunks (n_chunks, L, ...): split T into windows,
+        # carries taken from the window's first step
+        def chunk(x):
+            x = x.reshape((n_chunks_t, MAX_SEQ_LEN, N) + x.shape[2:])
+            x = jnp.moveaxis(x, 2, 0)  # (N, n_chunks_t, L, ...)
+            return x.reshape((n_chunks, MAX_SEQ_LEN) + x.shape[3:])
+
+        def chunk_first(x):  # carry at window start: (T, N, C) -> (n_chunks, C)
+            x = x.reshape((n_chunks_t, MAX_SEQ_LEN, N) + x.shape[2:])[:, 0]
+            x = jnp.moveaxis(x, 1, 0)
+            return x.reshape((n_chunks,) + x.shape[2:])
+
+        data = (
+            chunk(traj["obs"]),
+            chunk(traj["action"]),
+            chunk(traj["logp"]),
+            chunk(traj["logits"]),
+            chunk(traj["value"]),
+            chunk(advantages),
+            chunk(value_targets),
+            chunk_first(traj["carry_h"]),
+            chunk_first(traj["carry_c"]),
+        )
+
+        def epoch(carry, key_e):
+            params, opt_state = carry
+            perm = jax.random.permutation(key_e, n_chunks)
+
+            def minibatch(carry, idx):
+                params, opt_state, _ = carry
+                batch = tuple(d[idx] for d in data)
+                (_, aux), grads = grad_fn(
+                    params, batch, ts.kl_coeff, entropy_coeff
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, aux), None
+
+            idxs = perm[: n_minibatches * mb_chunks].reshape(
+                n_minibatches, mb_chunks
+            )
+            zero_aux = tuple(jnp.zeros(()) for _ in range(4))
+            (params, opt_state, aux), _ = jax.lax.scan(
+                minibatch, (params, opt_state, zero_aux), idxs
+            )
+            return (params, opt_state), aux
+
+        keys_e = jax.random.split(k_perm, config.num_sgd_iter)
+        (params, opt_state), auxes = jax.lax.scan(
+            epoch, (ts.params, ts.opt_state), keys_e
+        )
+        policy_loss, vf_loss, kl, entropy = (a[-1] for a in auxes)
+
+        kl_coeff = jnp.where(
+            kl > 2.0 * config.kl_target,
+            ts.kl_coeff * 1.5,
+            jnp.where(
+                kl < 0.5 * config.kl_target, ts.kl_coeff * 0.5, ts.kl_coeff
+            ),
+        )
+        new_ts = TrainState(
+            params=params,
+            opt_state=opt_state,
+            key=key,
+            env_steps=ts.env_steps + B * T,
+            kl_coeff=kl_coeff,
+        )
+        metrics = IterMetrics(
+            episode_sparse_reward=jnp.sum(traj["sparse"]) / B,
+            episode_shaped_reward=jnp.sum(traj["shaped"]) / B,
+            policy_loss=policy_loss,
+            vf_loss=vf_loss,
+            kl=kl,
+            entropy=entropy,
+            kl_coeff=kl_coeff,
+            reward_shaping_factor=shaping_factor,
+            entropy_coeff=entropy_coeff,
+        )
+        return new_ts, metrics
+
+    return init_fn, train_iteration
