@@ -53,6 +53,42 @@ class BCNet(nn.Module):
         return nn.Dense(self.cfg.num_actions)(x)
 
 
+class BCLSTMNet(nn.Module):
+    """LSTM BC (reference _build_lstm_model, behavior_cloning_tf2.py:377-420):
+    dense torso per timestep -> LSTM(cell_size) -> logits. Processes padded
+    (B, T, F) sequences; returns (B, T, A) logits."""
+
+    cfg: BCConfig
+
+    @nn.compact
+    def __call__(self, x_seq, carry=None):
+        import jax
+
+        x = x_seq
+        for units in self.cfg.net_arch:
+            x = nn.relu(nn.Dense(units)(x))
+        cell = nn.OptimizedLSTMCell(self.cfg.cell_size, name="lstm")
+        if carry is None:
+            carry = cell.initialize_carry(
+                jax.random.PRNGKey(0), (x.shape[0], x.shape[-1])
+            )
+
+        def scan_fn(cell, carry, xt):
+            carry, y = cell(carry, xt)
+            return carry, y
+
+        scanner = nn.transforms.scan(
+            scan_fn,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        carry, hs = scanner(cell, carry, x)
+        logits = nn.Dense(self.cfg.num_actions, name="logits")(hs)
+        return logits, carry
+
+
 def train_bc_model(
     obs: np.ndarray,
     actions: np.ndarray,
@@ -139,6 +175,69 @@ def train_bc_model(
             if patience >= cfg.early_stopping_patience:
                 break
     return best_params, history
+
+
+def train_bc_lstm(
+    sequences,
+    cfg: BCConfig = BCConfig(use_lstm=True),
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Train the LSTM BC model on variable-length per-agent sequences.
+
+    sequences: list of (obs (T_i, F) float32, actions (T_i,) int32).
+    Pads to the max length with a loss mask (reference pads with zeros and
+    masks via seq_lens, behavior_cloning_tf2.py:146-161).
+    """
+    assert sequences
+    max_len = max(o.shape[0] for o, _ in sequences)
+    feat = sequences[0][0].shape[1]
+    n = len(sequences)
+    obs = np.zeros((n, max_len, feat), np.float32)
+    act = np.zeros((n, max_len), np.int32)
+    mask = np.zeros((n, max_len), np.float32)
+    for i, (o, a) in enumerate(sequences):
+        obs[i, : len(a)] = o
+        act[i, : len(a)] = a
+        mask[i, : len(a)] = 1.0
+
+    net = BCLSTMNet(cfg)
+    params = net.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, max_len, feat))
+    )
+    tx = optax.adam(cfg.learning_rate)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, bo, ba, bm):
+        def loss_fn(p):
+            logits, _ = net.apply(p, bo)
+            losses = optax.softmax_cross_entropy_with_integer_labels(
+                logits, ba
+            )
+            return jnp.sum(losses * bm) / jnp.maximum(jnp.sum(bm), 1.0)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.RandomState(seed)
+    bs = max(min(cfg.batch_size, n), 1)
+    history = {"loss": []}
+    for epoch in range(cfg.epochs):
+        perm = rng.permutation(n)
+        ep_loss, steps = 0.0, 0
+        for s in range(0, n, bs):
+            idx = perm[s : s + bs]
+            params, opt_state, loss = train_step(
+                params, opt_state, obs[idx], act[idx], mask[idx]
+            )
+            ep_loss += float(loss)
+            steps += 1
+        history["loss"].append(ep_loss / steps)
+        if verbose:
+            print(f"epoch {epoch}: loss {ep_loss / steps:.4f}")
+    return params, history
 
 
 def save_bc_model(model_dir, params, cfg: BCConfig, metadata=None):

@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-freq", type=int, default=100)
     ap.add_argument("--local-testing", action="store_true")
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="resume from the latest checkpoint in --out",
+    )
     ap.add_argument("--platform", default=None, help="cpu to force local CPU")
     args = ap.parse_args()
 
@@ -87,13 +91,19 @@ def main():
     else:
         init_fn, train_it = make_ppo(spec, config, potential_fn)
     ts = init_fn(jax.random.PRNGKey(args.seed))
+    start_iter = 0
+    if args.resume:
+        from overcooked_ai_tpu.training.checkpoint import restore_checkpoint
+
+        ts, start_iter = restore_checkpoint(out_dir, ts)
+        print(f"resumed from step {start_iter}", flush=True)
     print(
         f"training {args.layout} ({'phi' if args.use_phi else 'shaped'}) "
         f"for {args.iters} iters x {config.train_batch_size} env steps",
         flush=True,
     )
     t_start = time.time()
-    for it in range(1, args.iters + 1):
+    for it in range(start_iter + 1, start_iter + args.iters + 1):
         t0 = time.time()
         ts, m = train_it(ts)
         m = jax.device_get(m)
