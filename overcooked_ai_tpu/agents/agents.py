@@ -63,6 +63,44 @@ def stay_agent(key, layout, state, agent_index):
     return jnp.asarray(ACTION_STAY, jnp.int32)
 
 
+def make_fixed_plan_agent(plan):
+    """Agent that executes a fixed action sequence, then STAYs.
+
+    Mirror of the reference FixedPlanAgent (reference agents/agent.py:
+    276-295): step i of the plan at env timestep i (the reference keeps a
+    private counter incremented per call, which equals `state.t` for an
+    agent queried once per step from episode start).
+    """
+    plan_arr = jnp.asarray(np.asarray(plan, np.int32))
+
+    def fixed_plan(key, layout, state: State, agent_index: int):
+        t = state.t
+        in_plan = t < plan_arr.shape[0]
+        idx = jnp.minimum(t, plan_arr.shape[0] - 1)
+        return jnp.where(in_plan, plan_arr[idx], ACTION_STAY).astype(
+            jnp.int32
+        )
+
+    return fixed_plan
+
+
+def make_sample_agent(prob_fns):
+    """Prob-averaging ensemble, the reference SampleAgent (agent.py:591-602).
+
+    Each element of `prob_fns` maps (key, layout, state, agent_index) to a
+    (6,) action distribution; the ensemble samples from the mean.
+    """
+
+    def sample(key, layout, state: State, agent_index: int):
+        probs = jnp.stack(
+            [fn(key, layout, state, agent_index) for fn in prob_fns]
+        )
+        mean = jnp.mean(probs, axis=0)
+        return jax.random.choice(key, 6, p=mean).astype(jnp.int32)
+
+    return sample
+
+
 class GreedyTables(NamedTuple):
     feature_cost: jnp.ndarray  # (4, H, W, H, W) int32
     first_action: jnp.ndarray  # (4, H, W, H, W) int8

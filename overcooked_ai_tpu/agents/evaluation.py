@@ -151,14 +151,21 @@ def trajectories_to_reference_format(spec, traj, horizon=400):
     ]
 
     trajectories = {k: [] for k in DEFAULT_TRAJ_KEYS}
+    # Reference schema: ep_states[t] is the state the joint action
+    # ep_actions[t] was taken IN (s_t, a_t, r_t) -- overcooked_env.py:425-470.
+    # The rollout records post-transition states, so prepend the start state
+    # and drop the final one.
+    start_dict = state_to_dict(
+        jax.tree.map(np.asarray, spec.layout.start_state), spec
+    )
     for b in range(B):
         ep_actions = [
             tuple(index_to_action[int(actions[t, p, b])] for p in range(P))
             for t in range(T)
         ]
         sparse_t = traj["sparse"][..., b].sum(axis=1)  # (T,)
-        state_dicts = []
-        for t in range(T):
+        state_dicts = [start_dict]
+        for t in range(T - 1):
             st = jax.tree.map(lambda x: np.asarray(x[t, ..., b]), _traj_state(traj))
             state_dicts.append(state_to_dict(st, spec))
         trajectories["ep_states"].append(state_dicts)
@@ -197,6 +204,71 @@ def game_stats_from_traj(traj, game_index=0):
             for p in range(sparse.shape[1])
         ]
     return stats
+
+
+def _action_to_index(a):
+    """Reference Action.ACTION_TO_INDEX equivalent for interchange tuples."""
+    if isinstance(a, str):
+        assert a == "interact"
+        return ACTION_INTERACT
+    a = tuple(a)
+    if a == (0, 0):
+        return ACTION_STAY
+    for d in range(4):
+        if DIRECTION_TO_TUPLE[d] == a:
+            return d
+    raise ValueError(f"unknown action {a!r}")
+
+
+def check_trajectories(trajectories, spec, verbose: bool = False):
+    """Validate a reference-format trajectory dict by replaying the dynamics.
+
+    Mirror of AgentEvaluator.check_trajectories (reference
+    benchmarking.py:324-414, `_check_trajectories_dynamics` :365): for every
+    consecutive (s_t, a_t, s_{t+1}) assert that stepping s_t with a_t
+    reproduces s_{t+1} exactly and that the recorded reward matches the
+    summed sparse reward. Raises AssertionError on any divergence.
+    """
+    from overcooked_ai_tpu.core.state import (
+        canonical_state_dict,
+        state_from_dict,
+    )
+
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    step_jit = jax.jit(env_transition)
+    for keys in (TIMESTEP_TRAJ_KEYS, EPISODE_TRAJ_KEYS):
+        for k in keys:
+            assert k in trajectories, f"missing trajectory key {k}"
+    n_eps = len(trajectories["ep_states"])
+    for b in range(n_eps):
+        states = trajectories["ep_states"][b]
+        acts = trajectories["ep_actions"][b]
+        rews = trajectories["ep_rewards"][b]
+        assert len(states) == len(acts) == len(rews), (
+            f"episode {b}: inconsistent lengths"
+        )
+        for t in range(len(states) - 1):
+            st = state_from_dict(states[t], spec)
+            joint = jnp.asarray(
+                [_action_to_index(a) for a in acts[t]], jnp.int32
+            )
+            nxt, info = step_jit(
+                layout, jax.tree.map(jnp.asarray, st), joint
+            )
+            got = canonical_state_dict(
+                state_to_dict(jax.tree.map(np.asarray, nxt), spec)
+            )
+            want = canonical_state_dict(states[t + 1])
+            assert got == want, (
+                f"episode {b} step {t}: replayed state diverges\n"
+                f"got:  {got}\nwant: {want}"
+            )
+            reward = int(np.sum(np.asarray(info.sparse_reward)))
+            assert reward == int(rews[t]), (
+                f"episode {b} step {t}: reward {reward} != {rews[t]}"
+            )
+        if verbose:
+            print(f"episode {b}: {len(states)} states consistent")
 
 
 def save_trajectories(trajectories, path):

@@ -110,3 +110,18 @@ def build_first_action_table(terrain: np.ndarray, counter_goals=()):
                                 first_action[o, y, x, fy, fx] = a
                                 break
     return first_action
+
+
+def build_greedy_tables(spec, counter_goals=()):
+    """One-call builder of the GreedyTables pytree for a LayoutSpec."""
+    import jax.numpy as jnp
+
+    from overcooked_ai_tpu.agents.agents import GreedyTables
+    from overcooked_ai_tpu.planning.tables import build_motion_tables
+
+    mt = build_motion_tables(spec.layout.terrain)
+    fa = build_first_action_table(spec.layout.terrain, counter_goals)
+    return GreedyTables(
+        feature_cost=jnp.asarray(mt.feature_cost),
+        first_action=jnp.asarray(fa),
+    )

@@ -84,7 +84,9 @@ def test_random_stay_pair_and_trajectory_format():
     assert set(trajs.keys()) == set(DEFAULT_TRAJ_KEYS)
     assert len(trajs["ep_states"]) == 2
     assert len(trajs["ep_states"][0]) == 50
-    assert trajs["ep_states"][0][0]["timestep"] == 1
+    # states are aligned with the actions taken in them (reference
+    # get_rollouts schema): first state is the start state at t=0
+    assert trajs["ep_states"][0][0]["timestep"] == 0
     stats = game_stats_from_traj(traj)
     assert "cumulative_sparse_rewards_by_agent" in stats
     assert len(stats["onion_pickup"]) == 2
