@@ -83,7 +83,7 @@ def _all_recipe_counts():
             yield n - n_t, n_t
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity hash/eq: usable as a static jit arg
 class LayoutSpec:
     """Host-side layout description; owns the device `Layout` pytree."""
 

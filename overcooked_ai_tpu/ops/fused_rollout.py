@@ -1,0 +1,514 @@
+"""Fused multi-step rollout as a single pallas TPU kernel.
+
+The XLA path (`core/env.rollout_random`) lowers each env step to dozens of
+fused VPU kernels whose intermediates round-trip HBM between fusion
+boundaries; at 16k envs that caps throughput near 90M env-steps/s. This
+kernel instead runs the ENTIRE horizon loop inside one pallas program per
+batch tile: the (HW, B)-shaped state lives in VMEM/vector registers for all
+T steps, HBM is touched exactly twice (load initial state, store final
+state), and actions come from the in-kernel PRNG. Layout tables, terrain
+masks and the reset state are closed over as compile-time constants, so
+e.g. a uniform cook-time table folds to a scalar and `old_dynamics` is a
+trace-time branch.
+
+Semantics are the same exact transition as `core/step.py` (reference
+overcooked_mdp.py:1375-1709) minus the outputs this path never consumes:
+the 25-channel event tensor and shaped rewards (XLA dead-code-eliminates
+them in the random-rollout program too, so the comparison is fair). Parity
+with `core.step.step` is tested bit-for-bit via the explicit-actions entry
+point (`fused_rollout_actions`) in tests/test_fused_rollout.py.
+
+Batch layout matches the rest of the framework: env batch on the minor
+(lane) axis of every array.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from overcooked_ai_tpu.core.constants import (
+    ACTION_INTERACT,
+    MAX_NUM_INGREDIENTS,
+    OBJ_DISH,
+    OBJ_NONE,
+    OBJ_ONION,
+    OBJ_SOUP,
+    OBJ_TOMATO,
+    TERRAIN_COUNTER,
+    TERRAIN_DISH_DISP,
+    TERRAIN_EMPTY,
+    TERRAIN_ONION_DISP,
+    TERRAIN_POT,
+    TERRAIN_SERVE,
+    TERRAIN_TOMATO_DISP,
+)
+from overcooked_ai_tpu.core.state import State
+
+_SLOTS = MAX_NUM_INGREDIENTS  # 3 ingredient slots per soup
+
+
+def _table_select(table_np: np.ndarray, n_o, n_t):
+    """Look up a (4,4) host-constant int table at traced (n_o, n_t).
+
+    Zero entries are skipped and a constant table folds to a scalar, so the
+    common all-20s cook-time table costs nothing at runtime.
+    """
+    flat = np.asarray(table_np, np.int32).reshape(-1)
+    if np.all(flat == flat[0]):
+        return jnp.full(jnp.broadcast_shapes(n_o.shape, n_t.shape), int(flat[0]), jnp.int32)
+    lin = n_o * (_SLOTS + 1) + n_t
+    out = jnp.zeros(lin.shape, jnp.int32)
+    for k in range(flat.shape[0]):
+        if flat[k] != 0:
+            out = jnp.where(lin == k, int(flat[k]), out)
+    return out
+
+
+def _make_step(spec):
+    """Build the batch-explicit single-step transition for one layout.
+
+    All layout data is baked in as constants. Arrays carried per tile
+    (batch axis = minor, size Bt):
+      px, py, orient, held: (P, Bt) i32    hsoup: (P, 3, Bt)   htick: (P, Bt)
+      obj, stick: (HW, Bt) i32             sing: (3, HW, Bt)
+    """
+    lay = spec.layout
+    H, W = spec.height, spec.width
+    HW = H * W
+    P = spec.num_players
+    terrain = np.asarray(lay.terrain, np.int32).reshape(HW)
+    empty_c = terrain == TERRAIN_EMPTY  # (HW,) host bool
+    old_dynamics = bool(lay.old_dynamics)
+    time_t = np.asarray(lay.time_table)
+    deliv_t = np.asarray(lay.delivery_value)
+
+    def step(px, py, orient, held, hsoup, htick, obj, sing, stick, actions):
+        """actions: (P, Bt) i32. Returns updated arrays + sparse (P, Bt)."""
+        Bt = px.shape[-1]
+        iota_hw = jax.lax.broadcasted_iota(jnp.int32, (HW, Bt), 0)
+        terr_col = jnp.asarray(terrain)[:, None]  # (HW, 1) constant
+
+        sparse = jnp.zeros((P, Bt), jnp.int32)
+
+        # ---- 1. resolve_interacts: sequential per player (reference :1432)
+        for i in range(P):
+            act_i = actions[i]
+            inter = act_i == ACTION_INTERACT
+            o = orient[i]
+            dx = jnp.where(o == 2, 1, 0) - jnp.where(o == 3, 1, 0)
+            dy = jnp.where(o == 1, 1, 0) - jnp.where(o == 0, 1, 0)
+            lin = (py[i] + dy) * W + (px[i] + dx)  # (Bt,)
+            mask = iota_hw == lin[None, :]  # (HW, Bt)
+
+            tt = jnp.sum(jnp.where(mask, terr_col, 0), axis=0)
+            cell_obj = jnp.sum(jnp.where(mask, obj, 0), axis=0)
+            cell_slots = jnp.sum(jnp.where(mask[None], sing, 0), axis=1)  # (3,Bt)
+            cell_tick = jnp.sum(jnp.where(mask, stick, 0), axis=0)
+            c_no = jnp.sum((cell_slots == OBJ_ONION).astype(jnp.int32), 0)
+            c_nt = jnp.sum((cell_slots == OBJ_TOMATO).astype(jnp.int32), 0)
+            c_n = c_no + c_nt
+            cook_time = _table_select(time_t, c_no, c_nt)
+            cell_is_soup = cell_obj == OBJ_SOUP
+            cell_idle = cell_tick < 0
+            cell_ready = cell_is_soup & ~cell_idle & (cell_tick >= cook_time)
+
+            held_i = held[i]
+            has_obj = held_i != OBJ_NONE
+
+            counter_drop = inter & (tt == TERRAIN_COUNTER) & has_obj & (cell_obj == OBJ_NONE)
+            counter_pickup = inter & (tt == TERRAIN_COUNTER) & ~has_obj & (cell_obj != OBJ_NONE)
+            onion_disp = inter & (tt == TERRAIN_ONION_DISP) & ~has_obj
+            tomato_disp = inter & (tt == TERRAIN_TOMATO_DISP) & ~has_obj
+            dish_disp = inter & (tt == TERRAIN_DISH_DISP) & ~has_obj
+            if old_dynamics:
+                start_cook = jnp.zeros_like(inter)
+            else:
+                start_cook = (
+                    inter & (tt == TERRAIN_POT) & ~has_obj
+                    & cell_is_soup & cell_idle & (c_n > 0)
+                )
+            soup_pickup = inter & (tt == TERRAIN_POT) & (held_i == OBJ_DISH) & cell_ready
+            pot_try = inter & (tt == TERRAIN_POT) & (
+                (held_i == OBJ_ONION) | (held_i == OBJ_TOMATO)
+            )
+            # empty pot cell counts as a fresh idle soup (reference :1544-1546)
+            pot_ok = pot_try & (
+                (cell_obj == OBJ_NONE)
+                | (cell_is_soup & cell_idle & (c_n < _SLOTS))
+            )
+            deliver = inter & (tt == TERRAIN_SERVE) & (held_i == OBJ_SOUP)
+
+            h_no = jnp.sum((hsoup[i] == OBJ_ONION).astype(jnp.int32), 0)
+            h_nt = jnp.sum((hsoup[i] == OBJ_TOMATO).astype(jnp.int32), 0)
+            sparse = sparse.at[i].add(
+                jnp.where(deliver, _table_select(deliv_t, h_no, h_nt), 0)
+            )
+
+            # --- held mutations ---
+            new_held_i = jnp.where(
+                counter_drop | deliver | pot_ok,
+                OBJ_NONE,
+                jnp.where(
+                    counter_pickup,
+                    cell_obj,
+                    jnp.where(
+                        onion_disp,
+                        OBJ_ONION,
+                        jnp.where(
+                            tomato_disp,
+                            OBJ_TOMATO,
+                            jnp.where(
+                                dish_disp,
+                                OBJ_DISH,
+                                jnp.where(soup_pickup, OBJ_SOUP, held_i),
+                            ),
+                        ),
+                    ),
+                ),
+            )
+            gained = (counter_pickup & cell_is_soup) | soup_pickup
+            lost = counter_drop | deliver
+            new_hsoup_i = jnp.where(
+                gained[None], cell_slots, jnp.where(lost[None], 0, hsoup[i])
+            )
+            new_htick_i = jnp.where(gained, cell_tick, jnp.where(lost, -1, htick[i]))
+
+            # --- cell mutations ---
+            new_cell_obj = jnp.where(
+                counter_drop,
+                held_i,
+                jnp.where(
+                    counter_pickup | soup_pickup,
+                    OBJ_NONE,
+                    jnp.where(pot_ok, OBJ_SOUP, cell_obj),
+                ),
+            )
+            slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_SLOTS, Bt), 0)
+            base_count = jnp.where(cell_obj == OBJ_NONE, 0, c_n)
+            potted_slots = jnp.where(
+                slot_iota == base_count[None],
+                held_i[None],
+                jnp.where((cell_obj == OBJ_NONE)[None], 0, cell_slots),
+            )
+            new_cell_slots = jnp.where(
+                (counter_drop & (held_i == OBJ_SOUP))[None],
+                hsoup[i],
+                jnp.where(
+                    (counter_pickup | soup_pickup)[None],
+                    0,
+                    jnp.where(pot_ok[None], potted_slots, cell_slots),
+                ),
+            )
+            new_cell_tick = jnp.where(
+                counter_drop & (held_i == OBJ_SOUP),
+                htick[i],
+                jnp.where(
+                    counter_pickup | soup_pickup,
+                    -1,
+                    jnp.where(start_cook, 0, jnp.where(pot_ok, -1, cell_tick)),
+                ),
+            )
+
+            changed = counter_drop | counter_pickup | soup_pickup | pot_ok | start_cook
+            wmask = mask & changed[None, :]  # (HW, Bt)
+            held = held.at[i].set(new_held_i)
+            hsoup = hsoup.at[i].set(new_hsoup_i)
+            htick = htick.at[i].set(new_htick_i)
+            obj = jnp.where(wmask, new_cell_obj[None, :], obj)
+            sing = jnp.where(wmask[None], new_cell_slots[:, None, :], sing)
+            stick = jnp.where(wmask, new_cell_tick[None, :], stick)
+
+        # ---- 2. resolve_movement (reference :1644-1709)
+        is_dir = actions < 4
+        mdx = jnp.where(actions == 2, 1, 0) - jnp.where(actions == 3, 1, 0)
+        mdy = jnp.where(actions == 1, 1, 0) - jnp.where(actions == 0, 1, 0)
+        new_orient = jnp.where(is_dir, actions, orient)
+        cx, cy = px + mdx, py + mdy  # (P, Bt)
+        empty_col = jnp.asarray(empty_c)[:, None]  # (HW, 1) constant
+        nx, ny = px, py
+        cand_oks = []
+        for i in range(P):
+            clin = cy[i] * W + cx[i]
+            cmask = iota_hw == clin[None, :]
+            cand_oks.append(jnp.sum(jnp.where(cmask, empty_col, False), axis=0, dtype=jnp.bool_))
+        moved = [is_dir[i] & cand_oks[i] for i in range(P)]
+        nx = jnp.stack([jnp.where(moved[i], cx[i], px[i]) for i in range(P)])
+        ny = jnp.stack([jnp.where(moved[i], cy[i], py[i]) for i in range(P)])
+        collision = jnp.zeros((px.shape[-1],), jnp.bool_)
+        for i in range(P):
+            for j in range(i + 1, P):
+                same = (nx[i] == nx[j]) & (ny[i] == ny[j])
+                swap = (
+                    (nx[i] == px[j]) & (ny[i] == py[j])
+                    & (px[i] == nx[j]) & (py[i] == ny[j])
+                )
+                collision = collision | same | swap
+        fx = jnp.where(collision[None], px, nx)
+        fy = jnp.where(collision[None], py, ny)
+
+        # ---- 3. step_environment_effects (reference :1691-1703)
+        g_no = jnp.sum((sing == OBJ_ONION).astype(jnp.int32), 0)  # (HW, Bt)
+        g_nt = jnp.sum((sing == OBJ_TOMATO).astype(jnp.int32), 0)
+        is_soup = obj == OBJ_SOUP
+        tick1 = stick
+        if old_dynamics:
+            auto = is_soup & (stick < 0) & ((g_no + g_nt) == 3)
+            tick1 = jnp.where(auto, 0, stick)
+        cook_t = _table_select(time_t, g_no, g_nt)
+        cooking = is_soup & (tick1 >= 0) & (tick1 < cook_t)
+        tick2 = jnp.where(cooking, tick1 + 1, tick1)
+
+        return fx, fy, new_orient, held, hsoup, htick, obj, sing, tick2, sparse
+
+    return step
+
+
+def _make_reset(spec):
+    """done-predicated reset to the layout's start state (all constants)."""
+    start = spec.layout.start_state
+    HW = spec.height * spec.width
+    px0 = np.asarray(start.pos[:, 0], np.int32)
+    py0 = np.asarray(start.pos[:, 1], np.int32)
+    orient0 = np.asarray(start.orient, np.int32)
+    held0 = np.asarray(start.held, np.int32)
+    hsoup0 = np.asarray(start.held_soup, np.int32)
+    htick0 = np.asarray(start.held_soup_tick, np.int32)
+    obj0 = np.asarray(start.obj, np.int32).reshape(HW)
+    sing0 = np.asarray(start.soup_ing, np.int32).reshape(HW, _SLOTS).T.copy()
+    stick0 = np.asarray(start.soup_tick, np.int32).reshape(HW)
+
+    def reset(done, px, py, orient, held, hsoup, htick, obj, sing, stick):
+        """done: (Bt,) bool."""
+        d1 = done[None]  # (1, Bt)
+        sel = lambda c, v: jnp.where(d1, jnp.asarray(c)[:, None], v)  # noqa: E731
+        return (
+            sel(px0, px),
+            sel(py0, py),
+            sel(orient0, orient),
+            sel(held0, held),
+            jnp.where(d1[None], jnp.asarray(hsoup0)[:, :, None], hsoup),
+            sel(htick0, htick),
+            sel(obj0, obj),
+            jnp.where(d1[None], jnp.asarray(sing0)[:, :, None], sing),
+            sel(stick0, stick),
+        )
+
+    return reset
+
+
+def _state_to_tiles(state: State):
+    """State pytree (batch-minor) -> flat kernel array tuple."""
+    H, W, _, B = state.soup_ing.shape
+    return (
+        state.pos[:, 0, :].astype(jnp.int32),  # px (P, B)
+        state.pos[:, 1, :].astype(jnp.int32),  # py
+        state.orient.astype(jnp.int32),
+        state.held.astype(jnp.int32),
+        state.held_soup.astype(jnp.int32),  # (P, 3, B)
+        state.held_soup_tick.astype(jnp.int32),
+        state.obj.reshape(H * W, B).astype(jnp.int32),
+        jnp.moveaxis(state.soup_ing.reshape(H * W, _SLOTS, B), 1, 0).astype(jnp.int32),
+        state.soup_tick.reshape(H * W, B).astype(jnp.int32),
+        state.t.reshape(1, B).astype(jnp.int32),
+    )
+
+
+def _tiles_to_state(arrs, H, W) -> State:
+    px, py, orient, held, hsoup, htick, obj, sing, stick, t = arrs
+    B = px.shape[-1]
+    return State(
+        pos=jnp.stack([px, py], axis=1),
+        orient=orient,
+        held=held,
+        held_soup=hsoup,
+        held_soup_tick=htick,
+        obj=obj.reshape(H, W, B),
+        soup_ing=jnp.moveaxis(sing, 0, 1).reshape(H, W, _SLOTS, B),
+        soup_tick=stick.reshape(H, W, B),
+        t=t.reshape(B),
+    )
+
+
+def _state_specs(spec, block_b):
+    """BlockSpecs for the 10 state arrays, tiling only the minor batch axis."""
+    H, W, P = spec.height, spec.width, spec.num_players
+    HW = H * W
+
+    def bs(*lead):
+        ndim = len(lead)
+        return pl.BlockSpec(
+            lead + (block_b,),
+            (lambda *gi: (0,) * ndim + (gi[0],)),
+            memory_space=pltpu.VMEM,
+        )
+
+    return [
+        bs(P), bs(P), bs(P), bs(P),  # px, py, orient, held
+        bs(P, _SLOTS),  # hsoup
+        bs(P),  # htick
+        bs(HW),  # obj
+        bs(_SLOTS, HW),  # sing
+        bs(HW),  # stick
+        bs(1),  # t
+    ]
+
+
+def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
+    step = _make_step(spec)
+    reset = _make_reset(spec)
+    P = spec.num_players
+
+    def kernel(seed_ref, actions_ref, *refs):
+        state_in = refs[:10]
+        state_out = refs[10:20]
+        ret_ref = refs[20]
+        if use_rng:
+            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+
+        carry = tuple(r[:] for r in state_in)
+        Bt = carry[0].shape[-1]
+        ret0 = jnp.zeros((1, Bt), jnp.int32)
+
+        def body(k, loop_carry):
+            (px, py, orient, held, hsoup, htick, obj, sing, stick, t), ret = loop_carry
+            if use_rng:
+                bits = pltpu.bitcast(
+                    pltpu.prng_random_bits((P, Bt)), jnp.uint32
+                )
+                actions = (
+                    jax.lax.shift_right_logical(bits, 16).astype(jnp.int32) % 6
+                )
+            else:
+                actions = actions_ref[k]  # (P, Bt)
+            px, py, orient, held, hsoup, htick, obj, sing, stick, sparse = step(
+                px, py, orient, held, hsoup, htick, obj, sing, stick, actions
+            )
+            ret = ret + jnp.sum(sparse, axis=0, keepdims=True)
+            t = t + 1
+            done = (t >= horizon)[0]  # (Bt,)
+            px, py, orient, held, hsoup, htick, obj, sing, stick = reset(
+                done, px, py, orient, held, hsoup, htick, obj, sing, stick
+            )
+            t = jnp.where(done[None], 0, t)
+            return (px, py, orient, held, hsoup, htick, obj, sing, stick, t), ret
+
+        carry, ret = jax.lax.fori_loop(0, num_steps, body, (carry, ret0))
+        for r, v in zip(state_out, carry):
+            r[:] = v
+        ret_ref[:] = ret
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "num_steps", "horizon", "block_b", "interpret"),
+)
+def _fused_rollout(
+    spec,
+    state_arrs,
+    seed,
+    actions,
+    num_steps: int,
+    horizon: int,
+    block_b: int,
+    interpret: bool,
+):
+    B = state_arrs[0].shape[-1]
+    if B % block_b:
+        raise ValueError(f"batch {B} not divisible by block_b {block_b}")
+    grid = (B // block_b,)
+    use_rng = actions is None
+    if use_rng:
+        actions = jnp.zeros((1, spec.num_players, B), jnp.int32)
+        act_block_t = 1
+    else:
+        act_block_t = actions.shape[0]
+    state_specs = _state_specs(spec, block_b)
+    kernel = _build_kernel(spec, num_steps, horizon, use_rng)
+    HW = spec.height * spec.width
+    P = spec.num_players
+    out_shapes = [
+        jax.ShapeDtypeStruct(a.shape, jnp.int32) for a in state_arrs
+    ] + [jax.ShapeDtypeStruct((1, B), jnp.int32)]
+    out_specs = state_specs + [
+        pl.BlockSpec((1, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1)
+        pl.BlockSpec(
+            (act_block_t, P, block_b),
+            lambda i: (0, 0, i),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + state_specs
+    flops_per_step = 60 * HW * B  # rough: ~60 HW-sized VPU ops per step
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_step * num_steps, bytes_accessed=B * 200, transcendentals=0
+        ),
+    )(seed.reshape(1, 1).astype(jnp.int32), actions, *state_arrs)
+    return tuple(outs[:10]), outs[10].reshape(B)
+
+
+def fused_rollout_random(
+    spec,
+    state: State,
+    seed,
+    num_steps: int,
+    horizon: int = 400,
+    block_b: int = 2048,
+    interpret: bool = False,
+):
+    """Run `num_steps` env steps under a uniform-random policy, fully fused.
+
+    Returns (final_state, per_env_return[int32 (B,)]). The action stream is
+    the in-kernel TPU PRNG (seeded per batch tile), not jax.random -- the
+    policy distribution is identical, the draws differ.
+    """
+    arrs = _state_to_tiles(state)
+    out_arrs, ret = _fused_rollout(
+        spec, arrs, jnp.asarray(seed), None, num_steps, horizon, block_b, interpret
+    )
+    return _tiles_to_state(out_arrs, spec.height, spec.width), ret
+
+
+def fused_rollout_actions(
+    spec,
+    state: State,
+    actions,
+    horizon: int = 400,
+    block_b: int = 2048,
+    interpret: bool = False,
+):
+    """Replay an explicit (T, P, B) int32 action sequence, fully fused.
+
+    Bit-exact with scanning `core.env.env_step` over the same actions; used
+    by the parity tests and any deterministic replay.
+    """
+    arrs = _state_to_tiles(state)
+    actions = jnp.asarray(actions, jnp.int32)
+    num_steps = actions.shape[0]
+    out_arrs, ret = _fused_rollout(
+        spec,
+        arrs,
+        jnp.zeros((), jnp.int32),
+        actions,
+        num_steps,
+        horizon,
+        block_b,
+        interpret,
+    )
+    return _tiles_to_state(out_arrs, spec.height, spec.width), ret
