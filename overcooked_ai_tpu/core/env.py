@@ -185,8 +185,9 @@ def rollout_random(
     batch/chunk_size sub-batches and each runs its *full* horizon scan
     before the next starts (`lax.scan` over the chunk axis). A sub-batch
     sized so its int8 state carry fits in VMEM steps entirely on-chip
-    instead of streaming HBM every step -- at 16k envs this is ~10x faster
-    than one monolithic scan (measured: 89M -> >800M env-steps/s on v5e).
+    instead of streaming HBM every step (16k envs, v5e via axon tunnel:
+    87M monolithic vs 82M @chunk=4096 -- chunking no longer wins here; the
+    pallas fused kernel in ops/fused_rollout.py does, at 167M).
     """
     if chunk_size is None or chunk_size >= state.pos.shape[-1]:
         final_state, total = _rollout_random_scan(

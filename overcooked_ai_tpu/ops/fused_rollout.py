@@ -6,10 +6,10 @@ boundaries; at 16k envs that caps throughput near 90M env-steps/s. This
 kernel instead runs the ENTIRE horizon loop inside one pallas program per
 batch tile: the (HW, B)-shaped state lives in VMEM/vector registers for all
 T steps, HBM is touched exactly twice (load initial state, store final
-state), and actions come from the in-kernel PRNG. Layout tables, terrain
-masks and the reset state are closed over as compile-time constants, so
-e.g. a uniform cook-time table folds to a scalar and `old_dynamics` is a
-trace-time branch.
+state), and actions come from the in-kernel PRNG. Scalar layout data
+(recipe value/time tables, `old_dynamics`) folds in at trace time; the
+array-shaped layout data (terrain grid, reset state) is passed as small
+broadcast VMEM operands (pallas kernels may not capture array constants).
 
 Semantics are the same exact transition as `core/step.py` (reference
 overcooked_mdp.py:1375-1709) minus the outputs this path never consumes:
@@ -73,8 +73,9 @@ def _table_select(table_np: np.ndarray, n_o, n_t):
 def _make_step(spec):
     """Build the batch-explicit single-step transition for one layout.
 
-    All layout data is baked in as constants. Arrays carried per tile
-    (batch axis = minor, size Bt):
+    Scalar layout data is baked in as trace-time constants; the terrain
+    grid arrives as `terr_col` (HW, 1) read from a kernel operand. Arrays
+    carried per tile (batch axis = minor, size Bt):
       px, py, orient, held: (P, Bt) i32    hsoup: (P, 3, Bt)   htick: (P, Bt)
       obj, stick: (HW, Bt) i32             sing: (3, HW, Bt)
     """
@@ -82,19 +83,21 @@ def _make_step(spec):
     H, W = spec.height, spec.width
     HW = H * W
     P = spec.num_players
-    terrain = np.asarray(lay.terrain, np.int32).reshape(HW)
-    empty_c = terrain == TERRAIN_EMPTY  # (HW,) host bool
     old_dynamics = bool(lay.old_dynamics)
     time_t = np.asarray(lay.time_table)
     deliv_t = np.asarray(lay.delivery_value)
 
-    def step(px, py, orient, held, hsoup, htick, obj, sing, stick, actions):
+    def step(terr_col, px, py, orient, held, hsoup, htick, obj, sing, stick, actions):
         """actions: (P, Bt) i32. Returns updated arrays + sparse (P, Bt)."""
         Bt = px.shape[-1]
         iota_hw = jax.lax.broadcasted_iota(jnp.int32, (HW, Bt), 0)
-        terr_col = jnp.asarray(terrain)[:, None]  # (HW, 1) constant
 
-        sparse = jnp.zeros((P, Bt), jnp.int32)
+        # Per-player rows as Python lists: static-index slices + a final
+        # stack lower to slice/concat (TPU pallas has no scatter).
+        sparse_rows = [jnp.zeros((Bt,), jnp.int32) for _ in range(P)]
+        held_rows = [held[p] for p in range(P)]
+        hsoup_rows = [hsoup[p] for p in range(P)]
+        htick_rows = [htick[p] for p in range(P)]
 
         # ---- 1. resolve_interacts: sequential per player (reference :1432)
         for i in range(P):
@@ -146,8 +149,8 @@ def _make_step(spec):
 
             h_no = jnp.sum((hsoup[i] == OBJ_ONION).astype(jnp.int32), 0)
             h_nt = jnp.sum((hsoup[i] == OBJ_TOMATO).astype(jnp.int32), 0)
-            sparse = sparse.at[i].add(
-                jnp.where(deliver, _table_select(deliv_t, h_no, h_nt), 0)
+            sparse_rows[i] = sparse_rows[i] + jnp.where(
+                deliver, _table_select(deliv_t, h_no, h_nt), 0
             )
 
             # --- held mutations ---
@@ -217,12 +220,17 @@ def _make_step(spec):
 
             changed = counter_drop | counter_pickup | soup_pickup | pot_ok | start_cook
             wmask = mask & changed[None, :]  # (HW, Bt)
-            held = held.at[i].set(new_held_i)
-            hsoup = hsoup.at[i].set(new_hsoup_i)
-            htick = htick.at[i].set(new_htick_i)
+            held_rows[i] = new_held_i
+            hsoup_rows[i] = new_hsoup_i
+            htick_rows[i] = new_htick_i
             obj = jnp.where(wmask, new_cell_obj[None, :], obj)
             sing = jnp.where(wmask[None], new_cell_slots[:, None, :], sing)
             stick = jnp.where(wmask, new_cell_tick[None, :], stick)
+
+        sparse = jnp.stack(sparse_rows)
+        held = jnp.stack(held_rows)
+        hsoup = jnp.stack(hsoup_rows)
+        htick = jnp.stack(htick_rows)
 
         # ---- 2. resolve_movement (reference :1644-1709)
         is_dir = actions < 4
@@ -230,13 +238,16 @@ def _make_step(spec):
         mdy = jnp.where(actions == 1, 1, 0) - jnp.where(actions == 0, 1, 0)
         new_orient = jnp.where(is_dir, actions, orient)
         cx, cy = px + mdx, py + mdy  # (P, Bt)
-        empty_col = jnp.asarray(empty_c)[:, None]  # (HW, 1) constant
+        empty_col = terr_col == TERRAIN_EMPTY  # (HW, 1)
         nx, ny = px, py
         cand_oks = []
         for i in range(P):
             clin = cy[i] * W + cx[i]
             cmask = iota_hw == clin[None, :]
-            cand_oks.append(jnp.sum(jnp.where(cmask, empty_col, False), axis=0, dtype=jnp.bool_))
+            # int32 reduce: Mosaic can't truncate an i8 bool-sum back to i1
+            cand_oks.append(
+                jnp.sum((cmask & empty_col).astype(jnp.int32), axis=0) > 0
+            )
         moved = [is_dir[i] & cand_oks[i] for i in range(P)]
         nx = jnp.stack([jnp.where(moved[i], cx[i], px[i]) for i in range(P)])
         ny = jnp.stack([jnp.where(moved[i], cy[i], py[i]) for i in range(P)])
@@ -269,37 +280,35 @@ def _make_step(spec):
     return step
 
 
-def _make_reset(spec):
-    """done-predicated reset to the layout's start state (all constants)."""
+def _reset_operands(spec):
+    """Layout start state as 9 column-vector numpy arrays (kernel operands).
+
+    Shapes broadcast directly against the (lead..., Bt) carried state, so the
+    done-predicated reset is a single jnp.where per field.
+    """
     start = spec.layout.start_state
     HW = spec.height * spec.width
-    px0 = np.asarray(start.pos[:, 0], np.int32)
-    py0 = np.asarray(start.pos[:, 1], np.int32)
-    orient0 = np.asarray(start.orient, np.int32)
-    held0 = np.asarray(start.held, np.int32)
-    hsoup0 = np.asarray(start.held_soup, np.int32)
-    htick0 = np.asarray(start.held_soup_tick, np.int32)
-    obj0 = np.asarray(start.obj, np.int32).reshape(HW)
-    sing0 = np.asarray(start.soup_ing, np.int32).reshape(HW, _SLOTS).T.copy()
-    stick0 = np.asarray(start.soup_tick, np.int32).reshape(HW)
+    return (
+        np.asarray(start.pos[:, 0], np.int32)[:, None],  # px0 (P, 1)
+        np.asarray(start.pos[:, 1], np.int32)[:, None],
+        np.asarray(start.orient, np.int32)[:, None],
+        np.asarray(start.held, np.int32)[:, None],
+        np.asarray(start.held_soup, np.int32)[:, :, None],  # (P, 3, 1)
+        np.asarray(start.held_soup_tick, np.int32)[:, None],
+        np.asarray(start.obj, np.int32).reshape(HW)[:, None],  # (HW, 1)
+        np.asarray(start.soup_ing, np.int32).reshape(HW, _SLOTS).T[:, :, None].copy(),
+        np.asarray(start.soup_tick, np.int32).reshape(HW)[:, None],
+    )
 
-    def reset(done, px, py, orient, held, hsoup, htick, obj, sing, stick):
-        """done: (Bt,) bool."""
-        d1 = done[None]  # (1, Bt)
-        sel = lambda c, v: jnp.where(d1, jnp.asarray(c)[:, None], v)  # noqa: E731
-        return (
-            sel(px0, px),
-            sel(py0, py),
-            sel(orient0, orient),
-            sel(held0, held),
-            jnp.where(d1[None], jnp.asarray(hsoup0)[:, :, None], hsoup),
-            sel(htick0, htick),
-            sel(obj0, obj),
-            jnp.where(d1[None], jnp.asarray(sing0)[:, :, None], sing),
-            sel(stick0, stick),
-        )
 
-    return reset
+def _apply_reset(reset_vals, done, state_arrs):
+    """done-predicated reset. reset_vals: 9 (lead..., 1) arrays; done: (Bt,)."""
+    d1 = done[None]  # (1, Bt)
+    out = []
+    for r0, v in zip(reset_vals, state_arrs):
+        d = d1[None] if v.ndim == 3 else d1
+        out.append(jnp.where(d, r0, v))
+    return tuple(out)
 
 
 def _state_to_tiles(state: State):
@@ -361,39 +370,52 @@ def _state_specs(spec, block_b):
 
 def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
     step = _make_step(spec)
-    reset = _make_reset(spec)
     P = spec.num_players
 
-    def kernel(seed_ref, actions_ref, *refs):
-        state_in = refs[:10]
-        state_out = refs[10:20]
-        ret_ref = refs[20]
-        if use_rng:
-            pltpu.prng_seed(seed_ref[0, 0] + pl.program_id(0))
+    def kernel(seed_ref, actions_ref, terr_ref, *refs):
+        reset_vals = tuple(r[:] for r in refs[:9])
+        state_in = refs[9:19]
+        state_out = refs[19:29]
+        ret_ref = refs[29]
+        terr_col = terr_ref[:]  # (HW, 1)
 
         carry = tuple(r[:] for r in state_in)
         Bt = carry[0].shape[-1]
         ret0 = jnp.zeros((1, Bt), jnp.int32)
+        if use_rng:
+            # Stateless counter-based stream (murmur3 finalizer over
+            # seed/tile/lane/player/step) -- identical compiled and
+            # interpreted, no dependence on the per-core hardware PRNG.
+            lane = jax.lax.broadcasted_iota(jnp.uint32, (P, Bt), 1)
+            player = jax.lax.broadcasted_iota(jnp.uint32, (P, Bt), 0)
+            base = (
+                seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+                + jnp.uint32(pl.program_id(0)) * jnp.uint32(Bt)
+                + lane
+                + player * jnp.uint32(0x85EBCA6B)
+            )
+
+        def _hash_actions(k):
+            x = base + jnp.uint32(k) * jnp.uint32(0x27D4EB2F)
+            x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
+            x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
+            x = x ^ (x >> jnp.uint32(16))
+            return (x >> jnp.uint32(8)).astype(jnp.int32) % 6
 
         def body(k, loop_carry):
             (px, py, orient, held, hsoup, htick, obj, sing, stick, t), ret = loop_carry
             if use_rng:
-                bits = pltpu.bitcast(
-                    pltpu.prng_random_bits((P, Bt)), jnp.uint32
-                )
-                actions = (
-                    jax.lax.shift_right_logical(bits, 16).astype(jnp.int32) % 6
-                )
+                actions = _hash_actions(k)
             else:
                 actions = actions_ref[k]  # (P, Bt)
             px, py, orient, held, hsoup, htick, obj, sing, stick, sparse = step(
-                px, py, orient, held, hsoup, htick, obj, sing, stick, actions
+                terr_col, px, py, orient, held, hsoup, htick, obj, sing, stick, actions
             )
             ret = ret + jnp.sum(sparse, axis=0, keepdims=True)
             t = t + 1
             done = (t >= horizon)[0]  # (Bt,)
-            px, py, orient, held, hsoup, htick, obj, sing, stick = reset(
-                done, px, py, orient, held, hsoup, htick, obj, sing, stick
+            px, py, orient, held, hsoup, htick, obj, sing, stick = _apply_reset(
+                reset_vals, done, (px, py, orient, held, hsoup, htick, obj, sing, stick)
             )
             t = jnp.where(done[None], 0, t)
             return (px, py, orient, held, hsoup, htick, obj, sing, stick, t), ret
@@ -440,14 +462,27 @@ def _fused_rollout(
     out_specs = state_specs + [
         pl.BlockSpec((1, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     ]
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1)
-        pl.BlockSpec(
-            (act_block_t, P, block_b),
-            lambda i: (0, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
-    ] + state_specs
+    terrain = np.asarray(spec.layout.terrain, np.int32).reshape(HW)[:, None]
+    reset_ops = _reset_operands(spec)
+
+    def bcast(a):  # whole (tiny) array replicated to every batch tile
+        return pl.BlockSpec(
+            a.shape, (lambda *gi: (0,) * a.ndim), memory_space=pltpu.VMEM
+        )
+
+    in_specs = (
+        [
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1)
+            pl.BlockSpec(
+                (act_block_t, P, block_b),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            bcast(terrain),
+        ]
+        + [bcast(r) for r in reset_ops]
+        + state_specs
+    )
     flops_per_step = 60 * HW * B  # rough: ~60 HW-sized VPU ops per step
     outs = pl.pallas_call(
         kernel,
@@ -459,7 +494,13 @@ def _fused_rollout(
         cost_estimate=pl.CostEstimate(
             flops=flops_per_step * num_steps, bytes_accessed=B * 200, transcendentals=0
         ),
-    )(seed.reshape(1, 1).astype(jnp.int32), actions, *state_arrs)
+    )(
+        seed.reshape(1, 1).astype(jnp.int32),
+        actions,
+        jnp.asarray(terrain),
+        *[jnp.asarray(r) for r in reset_ops],
+        *state_arrs,
+    )
     return tuple(outs[:10]), outs[10].reshape(B)
 
 
