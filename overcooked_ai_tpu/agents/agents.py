@@ -106,12 +106,32 @@ class GreedyTables(NamedTuple):
     first_action: jnp.ndarray  # (4, H, W, H, W) int8
 
 
-def make_greedy_human_model(spec, tables: GreedyTables, auto_unstuck=True):
+def make_greedy_human_model(
+    spec,
+    tables: GreedyTables,
+    auto_unstuck=True,
+    hl_boltzmann_rational=False,
+    ll_boltzmann_rational=False,
+    hl_temp=1.0,
+    ll_temp=1.0,
+    goal_tables=None,
+):
     """Returns greedy(key, layout, state, agent_index, prev_pos_or) -> action.
 
     prev_pos_or: (P, 3) int32 [(x, y, orient)] of the previous step, or all
     -1 on the first step (auto-unstuck history, reference agent.py:366-404).
     Only supports the 3-onion order, like the reference (assert :519-524).
+
+    hl_boltzmann_rational: sample the motion goal with probability
+    softmax(-plan_cost * hl_temp) over all (feature cell, approach
+    direction) goals instead of taking the cheapest (reference
+    choose_motion_goal, agent.py:407-440). ll_boltzmann_rational: when the
+    chosen goal's standing position equals the current position, sample the
+    low-level action with probability softmax(-one_step_ahead_plan_cost *
+    ll_temp) over all 6 actions (reference boltzmann_rational_ll_action,
+    agent.py:460-483). Either flag requires `goal_tables` =
+    planning.greedy_tables.build_goal_tables(terrain) (per-goal costs +
+    first actions).
     """
     assert spec.sorted_all_orders == [("onion", "onion", "onion")], (
         "GreedyHumanModel only supports the single 3-onion order "
@@ -119,6 +139,14 @@ def make_greedy_human_model(spec, tables: GreedyTables, auto_unstuck=True):
     )
     num_players = spec.num_players
     assert num_players == 2
+    use_boltzmann = hl_boltzmann_rational or ll_boltzmann_rational
+    if use_boltzmann:
+        assert goal_tables is not None, (
+            "hl/ll_boltzmann_rational requires goal_tables "
+            "(build_goal_tables)"
+        )
+        goal_cost = jnp.asarray(goal_tables[0])
+        goal_first = jnp.asarray(goal_tables[1]).astype(jnp.int32)
 
     def greedy(key, layout, state: State, agent_index: int, prev_pos_or):
         height, width = state.obj.shape
@@ -126,6 +154,7 @@ def make_greedy_human_model(spec, tables: GreedyTables, auto_unstuck=True):
         i = agent_index
         other = 1 - agent_index
         obj = state.obj
+        key_hl, key_ll, key_unstuck = jax.random.split(key, 3)
 
         # ---- pot state masks ----
         is_pot = terrain == TERRAIN_POT
@@ -172,19 +201,10 @@ def make_greedy_human_model(spec, tables: GreedyTables, auto_unstuck=True):
         )
         candidates = jnp.where(held == OBJ_NONE, no_obj_mask, held_mask)
 
-        # ---- cost map for this player ----
-        flat = tables.feature_cost.reshape(
-            4 * height * width, height * width
-        )
-        lin = (
-            state.orient[i] * height + state.pos[i, 1]
-        ) * width + state.pos[i, 0]
-        onehot = (jnp.arange(4 * height * width) == lin).astype(jnp.int32)
-        cost_map = (onehot @ flat).reshape(height, width)
-        fa_flat = tables.first_action.reshape(
-            4 * height * width, height * width
-        ).astype(jnp.int32)
-        action_map = (onehot @ fa_flat).reshape(height, width)
+        # ---- cost map for this player (single dynamic gather) ----
+        px, py, o_i = state.pos[i, 0], state.pos[i, 1], state.orient[i]
+        cost_map = tables.feature_cost[o_i, py, px]  # (H, W)
+        action_map = tables.first_action[o_i, py, px].astype(jnp.int32)
 
         cost = jnp.where(candidates, cost_map, INF_COST).reshape(-1)
         best = jnp.argmin(cost)
@@ -204,6 +224,62 @@ def make_greedy_human_model(spec, tables: GreedyTables, auto_unstuck=True):
         chosen = jnp.where(
             reachable | (fcost[fbest] < INF_COST), chosen, ACTION_STAY
         )
+
+        if use_boltzmann:
+            from overcooked_ai_tpu.core.constants import DIR_VECTORS
+
+            dirvec = jnp.asarray(np.asarray(DIR_VECTORS, np.int32))  # (4, 2)
+            gc = goal_cost[o_i, py, px]  # (4, H, W) per-goal costs
+            gvalid = candidates[None] & (gc < INF_COST)
+            if hl_boltzmann_rational:
+                # softmax(-cost * T) over goals (reference agent.py:440-446)
+                logits = jnp.where(
+                    gvalid, -gc.astype(jnp.float32) * hl_temp, -jnp.inf
+                )
+                gidx = jax.random.categorical(key_hl, logits.reshape(-1))
+                hl_action = goal_first[o_i, py, px].reshape(-1)[gidx]
+                chosen = jnp.where(reachable, hl_action, chosen)
+            else:
+                # cheapest individual goal (for ll's goal identity)
+                gidx = jnp.argmin(
+                    jnp.where(gvalid, gc, INF_COST).reshape(-1)
+                )
+            if ll_boltzmann_rational:
+                hw = height * width
+                gd = gidx // hw
+                gfy = (gidx % hw) // width
+                gfx = gidx % width
+                # standing position of the goal = feature cell + approach dir
+                gpx = gfx + dirvec[gd, 0]
+                gpy = gfy + dirvec[gd, 1]
+                at_goal_pos = (gpx == px) & (gpy == py)
+                # one-step-ahead plan cost per action (agent.py:460-483)
+                future = []
+                ys = jnp.arange(height)[:, None]
+                xs = jnp.arange(width)[None, :]
+                for a in range(6):
+                    if a < 4:
+                        tx = px + dirvec[a, 0]
+                        ty = py + dirvec[a, 1]
+                        tcell = jnp.sum(
+                            jnp.where((ys == ty) & (xs == tx), terrain, -1)
+                        )
+                        can = tcell == TERRAIN_EMPTY
+                        nx = jnp.where(can, tx, px)
+                        ny = jnp.where(can, ty, py)
+                        no = jnp.asarray(a)
+                    else:  # STAY / INTERACT don't move (reference
+                        #     _move_if_direction, overcooked_mdp.py:1718)
+                        nx, ny, no = px, py, o_i
+                    future.append(goal_cost[no, ny, nx, gd, gfy, gfx])
+                fcosts = jnp.stack(future).astype(jnp.float32)
+                ll_logits = jnp.where(
+                    fcosts < INF_COST, -fcosts * ll_temp, -jnp.inf
+                )
+                ll_action = jax.random.categorical(key_ll, ll_logits)
+                chosen = jnp.where(
+                    reachable & at_goal_pos, ll_action, chosen
+                )
 
         if auto_unstuck:
             # stuck if ALL players' (pos, orient) unchanged (:369-373)
@@ -230,7 +306,7 @@ def make_greedy_human_model(spec, tables: GreedyTables, auto_unstuck=True):
             unblocking = jnp.stack(unblocking + [jnp.asarray(False)] * 2)
             n_unblock = jnp.sum(unblocking)
             # uniform choice among unblocking actions; STAY if none (:396-400)
-            r = jax.random.uniform(key)
+            r = jax.random.uniform(key_unstuck)
             csum = jnp.cumsum(unblocking.astype(jnp.float32))
             pick = jnp.argmax(
                 (csum > r * jnp.maximum(n_unblock, 1)) & unblocking

@@ -479,3 +479,35 @@ def make_potential_fn(spec, feature_cost, gamma: float = 0.99):
     fc = jnp.asarray(feature_cost)
     single = lambda layout, state: potential(layout, ptab, fc, state)  # noqa: E731
     return jax.vmap(single, in_axes=(None, -1), out_axes=-1)
+
+
+def make_potential_fn_pool(specs, gamma: float = 0.99):
+    """Per-lane phi for variable-MDP PPO (pool of same-shape layouts).
+
+    Returns phi(pool_idx (B,) i32, lane_layouts (leaves ..., B), state) ->
+    (B,) f32. Potential tables and motion feature-cost tables are
+    precomputed per pool member on host and gathered per lane (the
+    reference recomputes MotionPlanner + POTENTIAL_CONSTANTS per generated
+    MDP, overcooked_mdp.py:2920-2935).
+    """
+    from overcooked_ai_tpu.planning.tables import build_motion_tables
+
+    ptabs = [build_potential_tables(s, gamma) for s in specs]
+    ptab_pool = jax.tree.map(
+        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=-1), *ptabs
+    )
+    fc_pool = jnp.stack(
+        [
+            jnp.asarray(build_motion_tables(s.layout.terrain).feature_cost)
+            for s in specs
+        ],
+        axis=-1,
+    )
+    vm = jax.vmap(potential, in_axes=(-1, -1, -1, -1), out_axes=-1)
+
+    def phi(pool_idx, lane_layouts, state):
+        ptab_l = jax.tree.map(lambda x: x[..., pool_idx], ptab_pool)
+        fc_l = fc_pool[..., pool_idx]
+        return vm(lane_layouts, ptab_l, fc_l, state)
+
+    return phi

@@ -112,6 +112,99 @@ def build_first_action_table(terrain: np.ndarray, counter_goals=()):
     return first_action
 
 
+def build_goal_tables(terrain: np.ndarray, counter_goals=()):
+    """Per-goal (not per-cell-min) cost + first-action tables.
+
+    The reference's Boltzmann-rational greedy human softmaxes over the
+    individual motion goals -- one per (feature cell, approach direction)
+    pair (reference agent.py:407-440, choose_motion_goal with
+    hl_boltzmann_rational). Returns:
+
+      goal_cost[o, y, x, d, fy, fx] int32: reference get_plan cost
+        (#motion actions + 1 for INTERACT, planners.py:309-313) from
+        ((x, y), o) to the goal "stand on the empty cell at (fx,fy)+dirs[d]
+        facing the feature"; INF_COST for invalid/unreachable goals.
+      goal_first_action[o, y, x, d, fy, fx] int8: first action of a
+        canonical optimal plan (INTERACT when already at the goal, STAY if
+        unreachable; N,S,E,W tie order).
+    """
+    height, width = terrain.shape
+    counter_goal_set = {tuple(p) for p in counter_goals}
+    dirs = [DIRECTION_TO_TUPLE[d] for d in range(4)]
+    empty = terrain == TERRAIN_EMPTY
+    n_nodes = height * width * 4
+
+    def nid(x, y, o):
+        return (y * width + x) * 4 + o
+
+    adj = [[] for _ in range(n_nodes)]
+    succ = {}
+    for y in range(height):
+        for x in range(width):
+            if not empty[y, x]:
+                continue
+            for o in range(4):
+                u = nid(x, y, o)
+                for d, (dx, dy) in enumerate(dirs):
+                    nx, ny = x + dx, y + dy
+                    if 0 <= nx < width and 0 <= ny < height and empty[ny, nx]:
+                        v = nid(nx, ny, d)
+                    else:
+                        v = nid(x, y, d)
+                    adj[u].append(v)
+                    succ[(u, d)] = v
+
+    radj = [[] for _ in range(n_nodes)]
+    for u, vs in enumerate(adj):
+        for v in vs:
+            radj[v].append(u)
+
+    goal_cost = np.full(
+        (4, height, width, 4, height, width), INF_COST, np.int64
+    )
+    goal_first_action = np.full(
+        (4, height, width, 4, height, width), ACTION_STAY, np.int8
+    )
+    for fy in range(height):
+        for fx in range(width):
+            t = terrain[fy, fx]
+            if t == TERRAIN_EMPTY:
+                continue
+            if t == TERRAIN_COUNTER and (fx, fy) not in counter_goal_set:
+                continue
+            for d, (dx, dy) in enumerate(dirs):
+                ax, ay = fx + dx, fy + dy
+                if not (
+                    0 <= ax < width and 0 <= ay < height and empty[ay, ax]
+                ):
+                    continue
+                opposite = {0: 1, 1: 0, 2: 3, 3: 2}[d]
+                g = nid(ax, ay, opposite)
+                gd = _bfs_from(radj, g)
+                for y in range(height):
+                    for x in range(width):
+                        if not empty[y, x]:
+                            continue
+                        for o in range(4):
+                            u = nid(x, y, o)
+                            if gd[u] >= INF_COST:
+                                continue
+                            goal_cost[o, y, x, d, fy, fx] = gd[u] + 1
+                            if u == g:
+                                goal_first_action[
+                                    o, y, x, d, fy, fx
+                                ] = ACTION_INTERACT
+                                continue
+                            for a in range(4):
+                                if gd[succ[(u, a)]] == gd[u] - 1:
+                                    goal_first_action[o, y, x, d, fy, fx] = a
+                                    break
+    return (
+        np.minimum(goal_cost, INF_COST).astype(np.int32),
+        goal_first_action,
+    )
+
+
 def build_greedy_tables(spec, counter_goals=()):
     """One-call builder of the GreedyTables pytree for a LayoutSpec."""
     import jax.numpy as jnp

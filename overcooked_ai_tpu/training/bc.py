@@ -289,3 +289,29 @@ def bc_policy_fn(spec, feature_cost, params, cfg: BCConfig, stochastic=True):
         return jnp.argmax(logits).astype(jnp.int32)
 
     return policy
+
+
+def bc_policy_batch(spec, feature_cost, params, cfg: BCConfig, stochastic=True):
+    """Wrap a BC model as a batched every-seat policy for PPO+BC partners.
+
+    Returns policy(key, layout, state_batchminor) -> (P, B) int32 actions,
+    the signature `training.ppo.make_ppo(bc_policy=...)` expects (reference
+    BehaviorCloningPolicy embedded in PPO training,
+    behavior_cloning_tf2.py:428-590 + rllib.py:262-281).
+    """
+    from overcooked_ai_tpu.core.featurize import featurize_batch
+
+    net = BCNet(cfg)
+    fc = jnp.asarray(feature_cost)
+
+    def policy(key, layout, state):
+        feats = featurize_batch(layout, fc, state)  # (B, P, F)
+        B, P, F = feats.shape
+        logits = net.apply(params, feats.reshape(B * P, F))
+        if stochastic:
+            act = jax.random.categorical(key, logits)
+        else:
+            act = jnp.argmax(logits, axis=-1)
+        return act.reshape(B, P).T.astype(jnp.int32)  # (P, B)
+
+    return policy

@@ -89,6 +89,8 @@ class IterMetrics(NamedTuple):
     kl_coeff: jnp.ndarray
     reward_shaping_factor: jnp.ndarray
     entropy_coeff: jnp.ndarray
+    bc_factor: jnp.ndarray  # scheduled BC-partner probability this iter
+    bc_sample_fraction: jnp.ndarray  # fraction of samples masked out as BC
 
 
 def _anneal(start_v, curr_t, end_t, end_v=0.0, start_t=0.0):
@@ -112,10 +114,30 @@ def _bc_factor_at(schedule, t):
     return factor
 
 
+def bc_seat_mask(k_bc, k_seat, bc_factor, num_players, batch):
+    """Per-episode BC-partner seats: each env lane flips a coin
+    (p = bc_factor) for whether one uniformly-chosen seat is BC-controlled
+    (reference _populate_agents coin flip + shuffle, rllib.py:262-281).
+    Returns (P, B) bool; at most one True per column."""
+    is_bc = jax.random.uniform(k_bc, (batch,)) < bc_factor
+    seat = jax.random.randint(k_seat, (batch,), 0, num_players)
+    return (
+        jnp.arange(num_players)[:, None] == seat[None, :]
+    ) & is_bc[None, :]
+
+
 def make_ppo(
     spec, config: PPOConfig, potential_fn=None, bc_policy=None, mesh=None
 ):
     """Build (init_fn, train_iteration_fn) for a layout spec.
+
+    spec: a single LayoutSpec, OR a sequence of same-grid-shape LayoutSpecs
+    -- the variable-MDP training mode (reference
+    ppo_rllib_from_params_client.py:78-179): every iteration each env lane
+    samples a fresh layout from the pool, the vectorized equivalent of the
+    reference's per-reset MDP regeneration (num_mdp=inf). Since one
+    iteration collects exactly one episode per lane, per-iteration
+    resampling == per-episode regeneration.
 
     mesh: optional jax.sharding.Mesh with a "dp" axis. The env batch
     (minor axis) is shard-constrained over it; params stay replicated and
@@ -123,6 +145,8 @@ def make_ppo(
 
     potential_fn(layout, state) -> (B,) float phi values; required when
     config.use_phi (dense reward = phi(s') - phi(s), rllib.py:314-319).
+    In pool mode the signature is potential_fn(pool_idx, lane_layouts,
+    state) -> (B,) (see core.potential.make_potential_fn_pool).
 
     bc_policy(params-free): batched fn (key, layout, state_batchminor) ->
     (P, B) int32 actions for every seat; used for BC-partner episodes when
@@ -131,6 +155,15 @@ def make_ppo(
     seat is BC-controlled; BC-controlled samples are masked out of the PPO
     loss (reference policies_to_train={"ppo"}, rllib.py:720-760).
     """
+    pool_mode = isinstance(spec, (list, tuple))
+    if pool_mode:
+        from overcooked_ai_tpu.core.layout_generator import stack_layouts
+
+        specs = list(spec)
+        spec = specs[0]
+        layout_pool = stack_layouts(specs)  # leaves (..., N)
+        n_pool = len(specs)
+        assert bc_policy is None, "BC partners not supported in pool mode"
     layout = jax.tree.map(jnp.asarray, spec.layout)
     num_players = spec.num_players
     assert num_players == 2, "PPO self-play is 2-player (reference parity)"
@@ -141,11 +174,12 @@ def make_ppo(
     if config.use_phi:
         assert potential_fn is not None, "use_phi requires a potential_fn"
 
-    encode = jax.vmap(lossless_encode, in_axes=(None, -1), out_axes=0)
+    layout_axis = -1 if pool_mode else None
+    encode = jax.vmap(lossless_encode, in_axes=(layout_axis, -1), out_axes=0)
 
-    def obs_of(state):
+    def obs_of(lay, state):
         # (B, P, 26, H, W) -> (P*B, H, W, 26) player-major
-        enc = encode(layout, state)
+        enc = encode(lay, state)
         enc = jnp.transpose(enc, (1, 0, 3, 4, 2))  # (P, B, H, W, 26)
         return enc.reshape(num_players * B, height, width, 26)
 
@@ -182,29 +216,41 @@ def make_ppo(
         shaped: jnp.ndarray  # (B,) summed shaped (metrics)
 
     batched_transition = jax.vmap(
-        env_transition, in_axes=(None, -1, -1), out_axes=-1
+        env_transition, in_axes=(layout_axis, -1, -1), out_axes=-1
     )
 
     def rollout(params, key, shaping_factor, bc_factor):
-        state0 = batch_reset(layout, B)
+        key, k_pool = jax.random.split(key)
+        if pool_mode:
+            # fresh layout per lane per episode (reference num_mdp=inf)
+            pool_idx = jax.random.randint(k_pool, (B,), 0, n_pool)
+            lay = jax.tree.map(
+                lambda leaf: jnp.asarray(leaf)[..., pool_idx], layout_pool
+            )
+            state0 = lay.start_state  # already (..., B) after the gather
+        else:
+            pool_idx = None
+            lay = layout
+            state0 = batch_reset(layout, B)
         if mesh is not None:
             from overcooked_ai_tpu.parallel.mesh import constrain_batch_minor
 
             state0 = constrain_batch_minor(mesh, state0)
         key, k_bc, k_seat = jax.random.split(key, 3)
         if use_bc:
-            is_bc = jax.random.uniform(k_bc, (B,)) < bc_factor
-            bc_seat = jax.random.randint(k_seat, (B,), 0, num_players)
-            bc_mask = (
-                jnp.arange(num_players)[:, None] == bc_seat[None, :]
-            ) & is_bc[None, :]  # (P, B)
+            bc_mask = bc_seat_mask(k_bc, k_seat, bc_factor, num_players, B)
         else:
             bc_mask = jnp.zeros((num_players, B), bool)
         train_mask = (~bc_mask).reshape(num_players * B).astype(jnp.float32)
 
+        def phi_of(state):
+            if pool_mode:
+                return potential_fn(pool_idx, lay, state)
+            return potential_fn(lay, state)
+
         def body(carry, key_t):
             state = carry
-            obs = obs_of(state)
+            obs = obs_of(lay, state)
             logits, value = net.apply(params, obs)
             key_a, key_b = jax.random.split(key_t)
             action = jax.random.categorical(key_a, logits)  # (P*B,)
@@ -216,11 +262,11 @@ def make_ppo(
                 bc_actions = bc_policy(key_b, layout, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             if config.use_phi:
-                phi_s = potential_fn(layout, state)
-            next_state, info = batched_transition(layout, state, actions_pb)
+                phi_s = phi_of(state)
+            next_state, info = batched_transition(lay, state, actions_pb)
             sparse_sum = jnp.sum(info.sparse_reward, axis=0)  # (B,)
             if config.use_phi:
-                phi_sp = potential_fn(layout, next_state)
+                phi_sp = phi_of(next_state)
                 dense = jnp.broadcast_to(
                     (phi_sp - phi_s)[None], (num_players, B)
                 )
@@ -402,6 +448,8 @@ def make_ppo(
             kl_coeff=kl_coeff,
             reward_shaping_factor=shaping_factor,
             entropy_coeff=entropy_coeff,
+            bc_factor=bc_factor,
+            bc_sample_fraction=jnp.mean(1.0 - traj.mask),
         )
         return new_ts, metrics
 

@@ -266,6 +266,8 @@ def make_ppo_lstm(spec, config: PPOConfig):
             kl_coeff=kl_coeff,
             reward_shaping_factor=shaping_factor,
             entropy_coeff=entropy_coeff,
+            bc_factor=jnp.zeros(()),
+            bc_sample_fraction=jnp.zeros(()),
         )
         return new_ts, metrics
 

@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--save-freq", type=int, default=100)
     ap.add_argument("--local-testing", action="store_true")
     ap.add_argument(
+        "--bc-model", default=None,
+        help="dir of a saved BC model to use as the partner policy",
+    )
+    ap.add_argument(
+        "--bc-schedule", default=None,
+        help="piecewise-linear bc_factor schedule as 't:v,t:v,...' "
+        "(reference bc_schedule, e.g. '0:0,8e6:1'); requires --bc-model",
+    )
+    ap.add_argument(
         "--resume", action="store_true",
         help="resume from the latest checkpoint in --out",
     )
@@ -56,6 +65,16 @@ def main():
     overrides = {"old_dynamics": True} if args.old_dynamics else {}
     spec = from_layout_name(args.layout, **overrides)
 
+    bc_schedule = ((0, 0.0), (float("inf"), 0.0))
+    if args.bc_schedule:
+        pts = []
+        for part in args.bc_schedule.split(","):
+            t, v = part.split(":")
+            pts.append((float(t), float(v)))
+        pts.append((float("inf"), pts[-1][1]))
+        bc_schedule = tuple(pts)
+        assert args.bc_model, "--bc-schedule requires --bc-model"
+
     if args.local_testing:
         config = PPOConfig(
             num_envs=2,
@@ -65,11 +84,24 @@ def main():
             entropy_coeff_end=0.0,
             lr=args.lr,
             use_phi=args.use_phi,
+            bc_schedule=bc_schedule,
         )
     else:
         config = PPOConfig(
-            num_envs=args.num_envs, lr=args.lr, use_phi=args.use_phi
+            num_envs=args.num_envs,
+            lr=args.lr,
+            use_phi=args.use_phi,
+            bc_schedule=bc_schedule,
         )
+
+    bc_policy = None
+    if args.bc_model:
+        from overcooked_ai_tpu.planning.tables import build_motion_tables
+        from overcooked_ai_tpu.training.bc import bc_policy_batch, load_bc_model
+
+        bc_params, bc_cfg = load_bc_model(args.bc_model)
+        tables = build_motion_tables(spec.layout.terrain)
+        bc_policy = bc_policy_batch(spec, tables.feature_cost, bc_params, bc_cfg)
 
     potential_fn = None
     if args.use_phi:
@@ -89,7 +121,9 @@ def main():
 
         init_fn, train_it = make_ppo_lstm(spec, config)
     else:
-        init_fn, train_it = make_ppo(spec, config, potential_fn)
+        init_fn, train_it = make_ppo(
+            spec, config, potential_fn, bc_policy=bc_policy
+        )
     ts = init_fn(jax.random.PRNGKey(args.seed))
     start_iter = 0
     if args.resume:

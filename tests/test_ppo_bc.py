@@ -1,0 +1,179 @@
+"""PPO+BC partner training, end-to-end (reference ppo_rllib_test.py:303-329).
+
+The reference's headline capability (PPO trained WITH a fixed BC partner):
+per-episode the partner seat is BC-controlled with probability bc_factor,
+BC samples are excluded from the PPO loss (policies_to_train={"ppo"},
+rllib.py:720-760). Here the BC model is trained on greedy-human rollouts
+(synthetic stand-in for human data; the reference ships no cleaned human
+data either, only dummy CSVs).
+
+The CI-scale absolute-reward threshold test (>=30 sparse, mirroring the
+reference assertion) is opt-in via OVERCOOKED_SLOW_TESTS=1 -- it needs a
+few minutes of real training.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from overcooked_ai_tpu.agents.agents import (
+    GreedyTables,
+    make_greedy_human_model,
+)
+from overcooked_ai_tpu.agents.evaluation import AgentFn, run_agent_pair
+from overcooked_ai_tpu.core.layout import from_layout_name
+from overcooked_ai_tpu.human_data.pipeline import featurize_trajectories
+from overcooked_ai_tpu.planning.greedy_tables import build_first_action_table
+from overcooked_ai_tpu.planning.tables import build_motion_tables
+from overcooked_ai_tpu.training.bc import (
+    BCConfig,
+    bc_policy_batch,
+    train_bc_model,
+)
+from overcooked_ai_tpu.training.ppo import (
+    PPOConfig,
+    bc_seat_mask,
+    make_ppo,
+    train,
+)
+
+SLOW = os.environ.get("OVERCOOKED_SLOW_TESTS") == "1"
+
+
+def test_bc_seat_mask_stats():
+    """At most one BC seat per env; frequency tracks bc_factor."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    B = 4096
+    m0 = bc_seat_mask(k1, k2, 0.0, 2, B)
+    assert not bool(m0.any())
+    m1 = bc_seat_mask(k1, k2, 1.0, 2, B)
+    per_env = np.asarray(m1.sum(axis=0))
+    assert (per_env == 1).all()  # exactly one seat when factor = 1
+    # both seats get chosen
+    seat_rate = float(m1[0].mean())
+    assert 0.4 < seat_rate < 0.6
+    mh = bc_seat_mask(k1, k2, 0.5, 2, B)
+    rate = float(mh.any(axis=0).mean())
+    assert 0.42 < rate < 0.58
+
+
+def _train_greedy_bc(spec, epochs=12, num_games=4, horizon=120):
+    """BC model fit to greedy-human-model behavior on this layout."""
+    mt = build_motion_tables(spec.layout.terrain)
+    fa = build_first_action_table(spec.layout.terrain)
+    greedy = make_greedy_human_model(
+        spec, GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
+    )
+    agent = AgentFn(
+        policy=lambda key, layout, state, idx, carry: (
+            greedy(key, layout, state, idx, carry),
+            carry,
+        ),
+        init_carry=lambda batch: None,
+    )
+    traj = run_agent_pair(
+        spec, [agent, agent], num_games=num_games, horizon=horizon,
+        seed=0, greedy_carry=True,
+    )
+    # to the pipeline's trajectory schema: per-game states + joint actions
+    states = jax.tree.map(jnp.asarray, traj["state"])
+    trajectories = []
+    for g in range(num_games):
+        game_states = [
+            jax.tree.map(lambda x: x[t, ..., g], states)
+            for t in range(horizon)
+        ]
+        trajectories.append(
+            {
+                "states": game_states,
+                "actions": np.asarray(traj["actions"][:, :, g]),
+            }
+        )
+    obs, actions = featurize_trajectories(spec, mt.feature_cost, trajectories)
+    cfg = BCConfig(epochs=epochs, early_stopping_patience=epochs)
+    params, history = train_bc_model(obs, actions, cfg, seed=0)
+    if epochs > 1:
+        assert history["loss"][-1] < history["loss"][0]
+    return mt, params, cfg
+
+
+def test_ppo_bc_end_to_end():
+    """PPO seat learns against an always-on BC partner; BC samples are
+    masked out of the loss (observable via bc_sample_fraction == 0.5)."""
+    spec = from_layout_name("cramped_room")
+    mt, bc_params, bc_cfg = _train_greedy_bc(spec, epochs=3, num_games=2,
+                                             horizon=60)
+    bc_policy = bc_policy_batch(spec, mt.feature_cost, bc_params, bc_cfg)
+    cfg = PPOConfig(
+        num_envs=8,
+        horizon=100,
+        sgd_minibatch_size=400,
+        num_sgd_iter=8,
+        entropy_coeff_start=0.0,
+        entropy_coeff_end=0.0,
+        lr=5e-3,
+        bc_schedule=((0, 1.0), (float("inf"), 1.0)),
+    )
+    ts, hist = train(spec, cfg, num_iterations=12, seed=0,
+                     bc_policy=bc_policy)
+    # exactly one of two seats is BC every episode at bc_factor=1
+    for m in hist:
+        assert abs(float(m.bc_sample_fraction) - 0.5) < 1e-6
+        assert float(m.bc_factor) == 1.0
+    first4 = np.mean([float(m.episode_shaped_reward) for m in hist[:4]])
+    last4 = np.mean([float(m.episode_shaped_reward) for m in hist[-4:]])
+    assert last4 > first4, (first4, last4)
+
+
+def test_ppo_bc_schedule_anneals_into_training():
+    """bc_factor follows the schedule across iterations (rllib.py:370-385)."""
+    spec = from_layout_name("cramped_room")
+    mt, bc_params, bc_cfg = _train_greedy_bc(spec, epochs=1, num_games=1,
+                                             horizon=40)
+    bc_policy = bc_policy_batch(spec, mt.feature_cost, bc_params, bc_cfg)
+    cfg = PPOConfig(
+        num_envs=2,
+        horizon=40,
+        sgd_minibatch_size=40,
+        num_sgd_iter=1,
+        lr=1e-4,
+        # batch = 80 steps/iter: factor 0 at iter 1, 1.0 from iter 3 on
+        bc_schedule=((0, 0.0), (160, 1.0), (float("inf"), 1.0)),
+    )
+    ts, hist = train(spec, cfg, num_iterations=4, seed=0,
+                     bc_policy=bc_policy)
+    factors = [float(m.bc_factor) for m in hist]
+    assert factors[0] == 0.0
+    assert factors[-1] == 1.0
+    assert factors == sorted(factors)
+    assert float(hist[0].bc_sample_fraction) == 0.0
+    assert float(hist[-1].bc_sample_fraction) == 0.5
+
+
+@pytest.mark.skipif(not SLOW, reason="set OVERCOOKED_SLOW_TESTS=1")
+def test_ppo_bc_threshold_asymmetric_advantages_tomato():
+    """Reference CI threshold: >=30 average total reward after 20 iters of
+    PPO+BC on asymmetric_advantages_tomato (ppo_rllib_test.py:303-329)."""
+    spec = from_layout_name("asymmetric_advantages_tomato")
+    mt, bc_params, bc_cfg = _train_greedy_bc(spec, epochs=10, num_games=4,
+                                             horizon=200)
+    bc_policy = bc_policy_batch(spec, mt.feature_cost, bc_params, bc_cfg)
+    cfg = PPOConfig(
+        num_envs=8,
+        horizon=400,
+        sgd_minibatch_size=800,
+        num_sgd_iter=8,
+        entropy_coeff_start=0.1,
+        entropy_coeff_end=0.01,
+        entropy_coeff_horizon=1e5,
+        lr=1e-3,
+        bc_schedule=((0, 0.0), (8e3, 1.0), (float("inf"), 1.0)),
+    )
+    ts, hist = train(spec, cfg, num_iterations=20, seed=0,
+                     bc_policy=bc_policy)
+    last5 = np.mean([float(m.episode_sparse_reward) for m in hist[-5:]])
+    assert last5 >= 30, last5
