@@ -73,6 +73,125 @@ def filter_trials(df, button_press_threshold=DEFAULT_BUTTON_PRESS_THRESHOLD):
     return df
 
 
+def _human_action_flags(row, pred):
+    """1 if any HUMAN seat's action satisfies pred (reference
+    data_processing_utils is_interact/is_button_press + the row lambdas in
+    _add_interactivity_metrics, process_dataframes.py:349-392)."""
+    human = np.array(
+        [bool(row["player_0_is_human"]), bool(row["player_1_is_human"])]
+    )
+    acts = np.array([pred(a) for a in parse_joint_action(row["joint_action"])])
+    return int(np.sum(human * acts) > 0)
+
+
+def format_trials_df(df, clip_400=False):
+    """Standardize a raw trials dataframe: per-trial totals + interactivity
+    metrics (reference format_trials_df, process_dataframes.py:190-219).
+
+    Adds columns: cur_gameloop_total, score_total, button_press,
+    button_press_total, timesteps_since_interact,
+    button_presses_per_timstep (reference's spelling, kept for schema
+    compatibility).
+    """
+    df = df.copy()
+    if clip_400:
+        df = df[df["cur_gameloop"] <= 400]
+    df = df.join(
+        df.groupby("trial_id")["cur_gameloop"].count(),
+        on="trial_id",
+        rsuffix="_total",
+    )
+    df = df.join(
+        df.groupby("trial_id")["score"].max(), on="trial_id", rsuffix="_total"
+    )
+    df["interact"] = df.apply(
+        lambda r: _human_action_flags(r, lambda a: a == ACTION_INTERACT),
+        axis=1,
+    ).cumsum()
+    df["dummy"] = 1
+    df["button_press"] = df.apply(
+        lambda r: _human_action_flags(r, lambda a: a != ACTION_STAY), axis=1
+    )
+    df = df.join(
+        df.groupby("trial_id")["button_press"].sum(),
+        on="trial_id",
+        rsuffix="_total",
+    )
+    df["timesteps_since_interact"] = (
+        df.groupby("interact")["dummy"].cumsum() - 1
+    )
+    df = df.drop(columns=["interact", "dummy"])
+    df["button_presses_per_timstep"] = (
+        df["button_press_total"] / df["cur_gameloop_total"]
+    )
+    return df
+
+
+def train_test_split_trials(df, train_size=0.7, seed=0):
+    """Per-layout trial-level train/test split (reference train_test_split,
+    process_dataframes.py:265-311). Returns {layout: {"train": df,
+    "test": df}}; asserts both splits non-empty per layout."""
+    import pandas as pd  # noqa: F401
+
+    rng = np.random.RandomState(seed)
+    out = {}
+    for layout in np.unique(df["layout_name"]):
+        sub = df[df["layout_name"] == layout]
+        trial_ids = np.unique(sub["trial_id"])
+        rng.shuffle(trial_ids)
+        mid = int(np.ceil(len(trial_ids) * train_size))
+        train_ids, test_ids = trial_ids[:mid], trial_ids[mid:]
+        assert len(train_ids) > 0 and len(test_ids) > 0, (
+            f"cannot have an empty split for layout {layout}"
+        )
+        out[layout] = {
+            "train": sub[sub["trial_id"].isin(train_ids)],
+            "test": sub[sub["trial_id"].isin(test_ids)],
+        }
+    return out
+
+
+def csv_to_df_pickle(
+    csv_path,
+    out_dir,
+    out_file_prefix,
+    button_presses_threshold=DEFAULT_BUTTON_PRESS_THRESHOLD,
+    perform_train_test_split=True,
+    clip_400=False,
+    train_size=0.7,
+    seed=0,
+):
+    """Raw CSV -> cleaned, formatted, split pickled dataframes (reference
+    csv_to_df_pickle, process_dataframes.py:75-161). Writes
+    {prefix}_all.pickle (+ _train/_test when splitting); returns the
+    cleaned dataframe."""
+    import os
+
+    import pandas as pd
+
+    df = pd.read_csv(csv_path)
+    df = format_trials_df(df, clip_400=clip_400)
+    # whole-trial filter on the (trial-constant) button-press rate
+    df = filter_trials(df, button_presses_threshold)
+    if len(df) == 0:
+        # the reference's pd.concat([]) raises here too (tests.py:103-105)
+        raise ValueError(
+            f"threshold {button_presses_threshold} filtered out every trial"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    prefix = os.path.join(out_dir, out_file_prefix)
+    df.to_pickle(prefix + "_all.pickle")
+    if perform_train_test_split:
+        split = train_test_split_trials(df, train_size, seed)
+        layouts = sorted(split)
+        train = pd.concat([split[l]["train"] for l in layouts])
+        test = pd.concat([split[l]["test"] for l in layouts])
+        train.to_pickle(prefix + "_train.pickle")
+        test.to_pickle(prefix + "_test.pickle")
+        df = pd.concat([train, test])
+    return df
+
+
 def trials_to_trajectories(df, spec, layouts=None):
     """Group a trials df into per-trial (states, joint_actions) on a layout.
 
