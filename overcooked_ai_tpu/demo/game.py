@@ -54,6 +54,7 @@ class DemoGame:
         self.game_time = game_time  # wall-clock limit (reference :480)
         self.trajectory = []
         self.tick_count = 0
+        self.last_info = None  # env info of the most recent tick
 
     def activate(self):
         with self.lock:
@@ -91,6 +92,7 @@ class DemoGame:
                     except queue.Empty:
                         joint.append(ACTION_STAY)
             _, reward, done, info = self.env.step(joint)
+            self.last_info = info
             self.score += reward
             self.trajectory.append(
                 {
@@ -126,6 +128,160 @@ class DemoGame:
         """Recorded trajectory rows in the human-data schema."""
         with self.lock:
             return list(self.trajectory)
+
+
+class TutorialAI:
+    """Hardcoded tutorial partner (reference TutorialAI, game.py:866-956):
+    phase 0 runs the solo cook-soup loop, phase 2 the cooperative loop,
+    phase 1 stays."""
+
+    # action indices: N=0 S=1 E=2 W=3 STAY=4 INTERACT=5
+    COOK_SOUP_LOOP = [
+        3, 3, 3, 5,     # grab first onion
+        2, 0, 5,        # place onion in pot
+        3, 5,           # grab second onion
+        2, 0, 5,        # place onion in pot
+        3, 5,           # grab third onion
+        2, 0, 5,        # place onion in pot
+        5,              # cook soup
+        2, 1, 5,        # grab plate
+        3, 0,
+        5,              # pick up soup
+        2, 2, 2, 5,     # deliver
+        3,
+    ]
+    COOK_SOUP_COOP_LOOP = [
+        3, 3, 3, 5,     # grab first onion
+        2, 1, 5,        # place onion in pot
+        2, 2,           # move back to start
+        4, 4, 4, 4, 4, 4, 4, 4, 4,  # pause for realism
+    ]
+
+    def __init__(self):
+        self.curr_phase = -1
+        self.curr_tick = -1
+
+    def action(self):
+        self.curr_tick += 1
+        if self.curr_phase == 0:
+            return self.COOK_SOUP_LOOP[
+                self.curr_tick % len(self.COOK_SOUP_LOOP)
+            ]
+        if self.curr_phase == 2:
+            return self.COOK_SOUP_COOP_LOOP[
+                self.curr_tick % len(self.COOK_SOUP_COOP_LOOP)
+            ]
+        return ACTION_STAY
+
+    def reset(self):
+        self.curr_tick = -1
+        self.curr_phase += 1
+
+
+class TutorialGame(DemoGame):
+    """Phased tutorial (reference OvercookedTutorial, game.py:714-788):
+    phase 0 and 1 advance when the HUMAN scores; phase 2 requires the human
+    to earn exactly `phase_two_score` in one delivery (the AI's points never
+    count). Layout for phase k is tutorial_k."""
+
+    PHASE_LAYOUTS = ["tutorial_0", "tutorial_1", "tutorial_2"]
+
+    def __init__(self, phase_two_score: int = 15, **kwargs):
+        self.tutorial_ai = TutorialAI()
+        self.tutorial_ai.reset()  # -> phase 0
+        super().__init__(
+            layout_name=self.PHASE_LAYOUTS[0],
+            npc_policies={1: self._ai_policy},
+            game_time=None,
+            **kwargs,
+        )
+        self.curr_phase = 0
+        self.phase_two_score = phase_two_score
+        self.phase_two_finished = False
+
+    def _ai_policy(self, state_dict, seat):
+        return self.tutorial_ai.action()
+
+    def tick(self):
+        out = super().tick()
+        if out is None:
+            return None
+        row = self.trajectory[-1]
+        info = self.last_info or {}
+        human_r, ai_r = info.get("sparse_r_by_agent", [0, 0])
+        # only the human's score counts (reference :773-781)
+        self.score -= int(ai_r)
+        row["score"] = int(self.score)
+        if self.curr_phase == 2:
+            self.score = 0
+            if human_r == self.phase_two_score:
+                self.phase_two_finished = True
+        if self._needs_phase_reset():
+            self._advance_phase()
+            out["phase_advanced"] = True
+        out["phase"] = self.curr_phase
+        return out
+
+    def _needs_phase_reset(self) -> bool:
+        if self.curr_phase in (0, 1):
+            return self.score > 0
+        if self.curr_phase == 2:
+            return self.phase_two_finished
+        return False
+
+    def _advance_phase(self):
+        self.curr_phase += 1
+        self.tutorial_ai.reset()
+        if self.curr_phase >= len(self.PHASE_LAYOUTS):
+            self.finished = True
+            return
+        self.layout_name = self.PHASE_LAYOUTS[self.curr_phase]
+        self.env = OvercookedEnv.from_layout_name(self.layout_name, 400)
+        self.score = 0
+
+    def is_over(self) -> bool:
+        return getattr(self, "finished", False) or super().is_over()
+
+    def get_state_payload(self):
+        payload = super().get_state_payload()
+        payload["phase"] = self.curr_phase
+        payload["tutorial"] = True
+        return payload
+
+
+def npc_from_kind(kind: str, layout_name: str, seat: int = 1):
+    """NPC policy factory for the demo server: greedy | boltzmann |
+    ppo:<ckpt_dir> | bc:<model_dir> (reference get_policy,
+    overcooked_demo/server/game.py:674-692, loading trained checkpoints as
+    NPCs). Returns policy(state_dict, seat) -> action int."""
+    if kind == "greedy":
+        return greedy_npc(layout_name)
+
+    import jax
+    import jax.numpy as jnp
+
+    from overcooked_ai_tpu.agents.loading import build_agent
+    from overcooked_ai_tpu.core.layout import from_layout_name
+    from overcooked_ai_tpu.core.state import state_from_dict
+    from overcooked_ai_tpu.planning.tables import build_motion_tables
+
+    spec = from_layout_name(layout_name)
+    tables = build_motion_tables(spec.layout.terrain)
+    agent = build_agent(kind, spec, tables)
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    rng = np.random.RandomState(0)
+    prev = jnp.full((spec.num_players, 3), -1, jnp.int32)
+    carry = agent.init_carry(1)
+
+    def policy(state_dict, seat_idx):
+        nonlocal prev, carry
+        state = jax.tree.map(jnp.asarray, state_from_dict(state_dict, spec))
+        key = jax.random.PRNGKey(rng.randint(2**31))
+        action, carry = agent.policy(key, layout, state, seat_idx, prev)
+        prev = jnp.concatenate([state.pos, state.orient[:, None]], axis=1)
+        return int(action)
+
+    return policy
 
 
 def greedy_npc(layout_name: str):

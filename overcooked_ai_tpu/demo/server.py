@@ -27,7 +27,7 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from overcooked_ai_tpu.demo.game import DemoGame, greedy_npc
+from overcooked_ai_tpu.demo.game import DemoGame, TutorialGame, npc_from_kind
 
 MAX_GAMES = 10  # reference config.json MAX_GAMES
 TICK_FPS = 6  # reference app.py:291 fps=6
@@ -49,19 +49,27 @@ def _tick_loop(game_id):
         time.sleep(1.0 / TICK_FPS)
 
 
-def create_game(layout="cramped_room", npc="greedy", game_time=120):
+def create_game(layout="cramped_room", npc="greedy", game_time=120,
+                tutorial=False):
+    """npc: greedy | boltzmann | ppo:<ckpt_dir> | bc:<model_dir> | human
+    (trained checkpoints load as NPC policies, reference get_policy
+    overcooked_demo/server/game.py:674-692); tutorial=True starts the
+    phased tutorial instead (reference OvercookedTutorial)."""
     with _games_lock:
         if len(_games) >= MAX_GAMES:
             raise RuntimeError("server at capacity")
         game_id = uuid.uuid4().hex[:8]
-        npc_policies = {}
-        if npc == "greedy":
-            npc_policies[1] = greedy_npc(layout)
-        game = DemoGame(
-            layout_name=layout,
-            npc_policies=npc_policies,
-            game_time=game_time,
-        )
+        if tutorial:
+            game = TutorialGame()
+        else:
+            npc_policies = {}
+            if npc and npc != "human":
+                npc_policies[1] = npc_from_kind(npc, layout)
+            game = DemoGame(
+                layout_name=layout,
+                npc_policies=npc_policies,
+                game_time=game_time,
+            )
         _games[game_id] = game
     game.activate()
     threading.Thread(target=_tick_loop, args=(game_id,), daemon=True).start()
@@ -118,6 +126,7 @@ class Handler(BaseHTTPRequestHandler):
                     layout=body.get("layout", "cramped_room"),
                     npc=body.get("npc", "greedy"),
                     game_time=body.get("game_time", 120),
+                    tutorial=bool(body.get("tutorial", False)),
                 )
             except Exception as e:  # noqa: BLE001
                 return self._json({"error": str(e)}, 400)
@@ -149,7 +158,10 @@ PAGE = """<!doctype html><html><head><meta charset="utf-8">
 <style>body{background:#222;color:#eee;font-family:monospace}
 #c{image-rendering:pixelated;border:2px solid #555}</style></head><body>
 <h3>Overcooked (TPU framework demo)</h3>
-<div>score: <span id="score">0</span> | time left: <span id="time"></span></div>
+<div>score: <span id="score">0</span> | time left: <span id="time"></span>
+ | <span id="phase"></span>
+ <a href="/?tutorial=1" style="color:#8cf">tutorial</a>
+ <a href="/" style="color:#8cf">game</a></div>
 <canvas id="c" width="480" height="400"></canvas>
 <p>arrows = move, space = interact</p>
 <script>
@@ -157,15 +169,18 @@ const TILE=48, FILL={" ":"#282830","X":"#826e5a","P":"#3c3c42","O":"#c8aa3c",
  "T":"#be3c32","D":"#d2d2d7","S":"#5aa05a"};
 const PCOL=["#508ce6","#5ac878"];
 let gid=null, seat=0;
+const TUTORIAL=new URLSearchParams(location.search).has('tutorial');
 async function start(){
   const r=await fetch('/api/create',{method:'POST',
-    body:JSON.stringify({layout:'cramped_room'})});
+    body:JSON.stringify({layout:'cramped_room',tutorial:TUTORIAL})});
   const j=await r.json(); gid=j.game_id; seat=j.seat; poll();
 }
 async function poll(){
   const r=await fetch('/api/state?game_id='+gid); const j=await r.json();
   draw(j); document.getElementById('score').textContent=j.score;
   document.getElementById('time').textContent=j.time_left;
+  if(j.tutorial) document.getElementById('phase').textContent=
+    'tutorial phase '+j.phase+' | ';
   if(!j.done) setTimeout(poll, 150);
 }
 function draw(j){

@@ -19,70 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def build_agent(kind, spec, tables):
-    import jax
-    import jax.numpy as jnp
+    """Thin wrapper over the package loader (agents/loading.py)."""
+    from overcooked_ai_tpu.agents.loading import build_agent as _build
 
-    from overcooked_ai_tpu.agents.agents import (
-        GreedyTables,
-        make_greedy_human_model,
-        random_agent,
-        stay_agent,
-    )
-    from overcooked_ai_tpu.agents.evaluation import AgentFn, stateless
-
-    if kind == "greedy":
-        from overcooked_ai_tpu.planning.greedy_tables import (
-            build_first_action_table,
-        )
-
-        fa = build_first_action_table(spec.layout.terrain)
-        greedy = make_greedy_human_model(
-            spec,
-            GreedyTables(jnp.asarray(tables.feature_cost), jnp.asarray(fa)),
-        )
-        return AgentFn(
-            policy=lambda k, l, s, i, c: (greedy(k, l, s, i, c), c)
-        )
-    if kind == "random":
-        return stateless(random_agent)
-    if kind == "stay":
-        return stateless(stay_agent)
-    if kind.startswith("bc:"):
-        from overcooked_ai_tpu.training.bc import bc_policy_fn, load_bc_model
-
-        params, cfg = load_bc_model(kind[3:])
-        return stateless(
-            bc_policy_fn(spec, tables.feature_cost, params, cfg)
-        )
-    if kind.startswith("ppo:"):
-        from overcooked_ai_tpu.core.encoding import lossless_encode
-        from overcooked_ai_tpu.training.checkpoint import restore_checkpoint
-        from overcooked_ai_tpu.training.networks import PPONet
-        from overcooked_ai_tpu.training.ppo import PPOConfig, make_ppo
-
-        ckpt_dir = kind[4:]
-        with open(os.path.join(ckpt_dir, "config.json")) as f:
-            saved = json.load(f)["config"]
-        from overcooked_ai_tpu.training.networks import NetConfig
-
-        net_cfg = NetConfig(**saved["net"])
-        cfg = PPOConfig(
-            num_envs=2, net=net_cfg
-        )  # only the net matters for inference
-        init_fn, _ = make_ppo(spec, cfg)
-        import jax.random
-
-        ts, _ = restore_checkpoint(ckpt_dir, init_fn(jax.random.PRNGKey(0)))
-        net = PPONet(net_cfg)
-
-        def policy(key, layout, state, idx):
-            obs = lossless_encode(layout, state)  # (P, 26, H, W)
-            x = jnp.transpose(obs[idx], (1, 2, 0))[None]
-            logits, _ = net.apply(ts.params, x)
-            return jax.random.categorical(key, logits[0]).astype(jnp.int32)
-
-        return stateless(policy)
-    raise ValueError(f"unknown agent kind {kind}")
+    return _build(kind, spec, tables)
 
 
 def main():
