@@ -136,6 +136,107 @@ def run_agent_pair(
     return traj
 
 
+class VariableMDPEvaluator:
+    """Evaluate agent pairs over per-game (re)generated MDPs (reference
+    AgentEvaluator.from_mdp_params_{finite,infinite} + from_mdp_lst,
+    benchmarking.py:76-201).
+
+    Each game samples (finite) or freshly generates (infinite) a layout,
+    rebuilds the agents for it via `agent_factory(spec) -> [AgentFn, ...]`
+    (the reference rebuilds its MLAM per sampled MDP the same way), and
+    rolls out one episode. Use training.ppo's pool mode for high-throughput
+    variable-MDP rollouts; this is the evaluation-protocol path.
+    """
+
+    def __init__(self, spec_fn):
+        self._spec_fn = spec_fn  # (game_index, rng) -> LayoutSpec
+
+    @staticmethod
+    def from_mdp_lst(specs, sampling_freq=None):
+        """Finite pool with optional sampling frequencies
+        (reference from_mdp_lst, benchmarking.py:177-201)."""
+        specs = list(specs)
+        if sampling_freq is not None:
+            sampling_freq = np.asarray(sampling_freq, float)
+            assert sampling_freq.shape == (len(specs),)
+
+        def spec_fn(_g, rng):
+            return specs[rng.choice(len(specs), p=sampling_freq)]
+
+        return VariableMDPEvaluator(spec_fn)
+
+    @staticmethod
+    def from_mdp_params_finite(
+        num_mdp,
+        mdp_params=None,
+        outer_shape=(5, 4),
+        mdp_params_schedule_fn=None,
+        seed=0,
+    ):
+        """Pre-generate `num_mdp` layouts, sample one per game
+        (reference from_mdp_params_finite, benchmarking.py:96-137)."""
+        assert np.isfinite(num_mdp) and num_mdp > 0
+        from overcooked_ai_tpu.core.layout_generator import (
+            spec_gen_fn_from_dict,
+        )
+
+        gen = spec_gen_fn_from_dict(
+            mdp_params, outer_shape, mdp_params_schedule_fn, seed
+        )
+        return VariableMDPEvaluator.from_mdp_lst(
+            [gen() for _ in range(int(num_mdp))]
+        )
+
+    @staticmethod
+    def from_mdp_params_infinite(
+        mdp_params=None,
+        outer_shape=(5, 4),
+        mdp_params_schedule_fn=None,
+        seed=0,
+    ):
+        """A fresh layout for every game -- per-reset regeneration
+        (reference from_mdp_params_infinite, benchmarking.py:65-95)."""
+        from overcooked_ai_tpu.core.layout_generator import (
+            spec_gen_fn_from_dict,
+        )
+
+        gen = spec_gen_fn_from_dict(
+            mdp_params, outer_shape, mdp_params_schedule_fn, seed
+        )
+        return VariableMDPEvaluator(lambda _g, _rng: gen())
+
+    def evaluate(
+        self,
+        agent_factory,
+        num_games=1,
+        horizon=400,
+        seed=0,
+        greedy_carry=False,
+    ):
+        """Returns a list of per-game dicts {spec, traj, ep_return}."""
+        rng = np.random.RandomState(seed)
+        out = []
+        for g in range(num_games):
+            spec = self._spec_fn(g, rng)
+            agents = agent_factory(spec)
+            traj = run_agent_pair(
+                spec,
+                agents,
+                num_games=1,
+                horizon=horizon,
+                seed=seed + g,
+                greedy_carry=greedy_carry,
+            )
+            out.append(
+                {
+                    "spec": spec,
+                    "traj": traj,
+                    "ep_return": int(np.sum(traj["sparse"])),
+                }
+            )
+        return out
+
+
 def trajectories_to_reference_format(spec, traj, horizon=400):
     """Convert a run_agent_pair result to the reference trajectory dict
     (reference get_rollouts, overcooked_env.py:485-585)."""

@@ -27,6 +27,67 @@ DEFAULT_PROP_EMPTY = 0.95
 DEFAULT_PROP_FEATS = 0.1
 
 
+class MDPParamsGenerator:
+    """Curriculum hook: produce generation params per episode/reset from
+    outside information (reference MDPParamsGenerator,
+    layout_generator.py:65-88). The schedule fn receives a dict (e.g.
+    {"progress": 0.3} from the trainer) and returns the kwargs for
+    LayoutGenerator / generate_spec."""
+
+    def __init__(self, params_schedule_fn):
+        assert callable(params_schedule_fn), (
+            "params scheduling function must be a callable"
+        )
+        self.params_schedule_fn = params_schedule_fn
+
+    @staticmethod
+    def from_fixed_param(mdp_params_always):
+        return MDPParamsGenerator(lambda _ignored: mdp_params_always)
+
+    def generate(self, outside_information=None):
+        params = self.params_schedule_fn(outside_information or {})
+        assert isinstance(params, dict)
+        return params
+
+
+def spec_gen_fn_from_dict(
+    mdp_params=None, outer_shape=(5, 4), mdp_params_schedule_fn=None, seed=0
+):
+    """Layout-spec generator factory (reference
+    LayoutGenerator.mdp_gen_fn_from_dict, layout_generator.py:111-143).
+
+    Returns gen(outside_information={}) -> LayoutSpec; each call produces a
+    freshly-generated layout using the (possibly scheduled) params. Params
+    keys: prop_empty, prop_feats, inner_shape, num_players, random_orders.
+    """
+    assert not (mdp_params is not None and mdp_params_schedule_fn), (
+        "either fixed params or a schedule fn, not both (reference :120)"
+    )
+    pgen = (
+        MDPParamsGenerator(mdp_params_schedule_fn)
+        if mdp_params_schedule_fn
+        else MDPParamsGenerator.from_fixed_param(mdp_params or {})
+    )
+    rng = np.random.RandomState(seed)
+    counter = [0]
+
+    def gen(outside_information=None):
+        params = dict(pgen.generate(outside_information))
+        random_orders = params.pop("random_orders", False)
+        gen_keys = {
+            k: params.pop(k)
+            for k in ("inner_shape", "prop_empty", "prop_feats", "num_players")
+            if k in params
+        }
+        lg = LayoutGenerator(outer_shape=outer_shape, rng=rng, **gen_keys)
+        counter[0] += 1
+        return lg.generate_spec(
+            name=f"gen_{counter[0]}", random_orders=random_orders, **params
+        )
+
+    return gen
+
+
 class LayoutGenerator:
     """Procedural generator mirroring the reference's knobs
     (layout_generator.py:111-254)."""

@@ -90,3 +90,44 @@ def test_generated_layout_pool_vmapped_step():
     next_states, info = vstep(pool, states, actions)
     assert next_states.t.shape == (8,)
     assert (np.asarray(next_states.t) == 1).all()
+
+
+def test_variable_mdp_evaluator():
+    """from_mdp_params_{finite,infinite} + from_mdp_lst semantics
+    (reference AgentEvaluator, benchmarking.py:65-201; agent_test.py
+    exercises every constructor the same way)."""
+    from overcooked_ai_tpu.agents.agents import random_agent
+    from overcooked_ai_tpu.agents.evaluation import (
+        VariableMDPEvaluator,
+        stateless,
+    )
+
+    factory = lambda spec: [stateless(random_agent)] * 2  # noqa: E731
+
+    ev = VariableMDPEvaluator.from_mdp_params_finite(
+        num_mdp=3, outer_shape=(5, 4), seed=0
+    )
+    res = ev.evaluate(factory, num_games=4, horizon=20, seed=0)
+    assert len(res) == 4
+    names = {r["spec"].name for r in res}
+    assert len(names) <= 3  # sampled from the finite pool
+
+    ev_inf = VariableMDPEvaluator.from_mdp_params_infinite(
+        outer_shape=(5, 4), seed=1
+    )
+    res_inf = ev_inf.evaluate(factory, num_games=3, horizon=20, seed=0)
+    assert len({r["spec"].name for r in res_inf}) == 3  # fresh every game
+
+    # schedule fn drives generation params (curriculum hook,
+    # reference MDPParamsGenerator, layout_generator.py:65-88)
+    seen = []
+
+    def sched(outside):
+        seen.append(outside)
+        return {"prop_empty": 0.9}
+
+    ev_s = VariableMDPEvaluator.from_mdp_params_infinite(
+        outer_shape=(5, 4), mdp_params_schedule_fn=sched, seed=2
+    )
+    ev_s.evaluate(factory, num_games=2, horizon=10, seed=0)
+    assert len(seen) >= 2
