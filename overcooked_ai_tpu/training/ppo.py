@@ -82,6 +82,11 @@ class TrainState(NamedTuple):
 class IterMetrics(NamedTuple):
     episode_sparse_reward: jnp.ndarray  # mean per-episode summed sparse reward
     episode_shaped_reward: jnp.ndarray  # mean per-episode summed shaped reward
+    # mean per-episode MIXED reward summed over both agents -- rllib's
+    # episode_reward_mean, the metric behind every reference CI threshold
+    # ("average_total_reward", ppo_rllib_client.py:408-411):
+    # sum_agents(sparse_team + factor * dense_agent)
+    episode_total_reward: jnp.ndarray
     policy_loss: jnp.ndarray
     vf_loss: jnp.ndarray
     kl: jnp.ndarray
@@ -441,6 +446,7 @@ def make_ppo(
         metrics = IterMetrics(
             episode_sparse_reward=jnp.sum(traj.sparse) / B,
             episode_shaped_reward=jnp.sum(traj.shaped) / B,
+            episode_total_reward=jnp.sum(traj.reward) / B,
             policy_loss=policy_loss,
             vf_loss=vf_loss,
             kl=kl,

@@ -259,6 +259,7 @@ def make_ppo_lstm(spec, config: PPOConfig):
         metrics = IterMetrics(
             episode_sparse_reward=jnp.sum(traj["sparse"]) / B,
             episode_shaped_reward=jnp.sum(traj["shaped"]) / B,
+            episode_total_reward=jnp.sum(traj["reward"]) / B,
             policy_loss=policy_loss,
             vf_loss=vf_loss,
             kl=kl,

@@ -67,3 +67,55 @@ def test_anneal_schedules():
     assert float(_bc_factor_at(sched, 0.0)) == 0.0
     assert abs(float(_bc_factor_at(sched, 50.0)) - 0.5) < 1e-6
     assert float(_bc_factor_at(sched, 1000.0)) == 1.0
+
+
+import os
+
+SLOW = os.environ.get("OVERCOOKED_SLOW_TESTS") == "1"
+
+
+@pytest.mark.skipif(not SLOW, reason="set OVERCOOKED_SLOW_TESTS=1")
+def test_ppo_sp_no_phi_threshold():
+    """Reference CI: PPO self-play (no phi) on cramped_room, 30 iters x
+    batch 800 -> episode_reward_mean >= 5 (ppo_rllib_test.py:63,172-194).
+    The asserted metric is rllib's episode_reward_mean = per-episode MIXED
+    reward summed over both agents (average_total_reward,
+    ppo_rllib_client.py:408-411)."""
+    spec = from_layout_name("cramped_room")
+    cfg = PPOConfig(
+        num_envs=2,
+        horizon=400,
+        sgd_minibatch_size=400,
+        num_sgd_iter=8,
+        entropy_coeff_start=0.0,
+        entropy_coeff_end=0.0,
+        lr=5e-3,
+    )
+    ts, hist = train(spec, cfg, num_iterations=30, seed=0)
+    last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
+    assert last5 >= 5, last5
+
+
+@pytest.mark.skipif(not SLOW, reason="set OVERCOOKED_SLOW_TESTS=1")
+def test_ppo_sp_phi_threshold():
+    """Reference CI: PPO self-play (phi-shaped) on cramped_room, 30 iters x
+    batch 1600 -> episode_reward_mean >= 13 (ppo_rllib_test.py:203-225)."""
+    from overcooked_ai_tpu.core.potential import make_potential_fn
+    from overcooked_ai_tpu.planning.tables import build_motion_tables
+
+    spec = from_layout_name("cramped_room")
+    tables = build_motion_tables(spec.layout.terrain)
+    phi = make_potential_fn(spec, tables.feature_cost)
+    cfg = PPOConfig(
+        num_envs=4,
+        horizon=400,
+        sgd_minibatch_size=800,
+        num_sgd_iter=8,
+        entropy_coeff_start=0.0,
+        entropy_coeff_end=0.0,
+        lr=5e-3,
+        use_phi=True,
+    )
+    ts, hist = train(spec, cfg, num_iterations=30, seed=0, potential_fn=phi)
+    last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
+    assert last5 >= 13, last5

@@ -7,9 +7,10 @@ rllib.py:720-760). Here the BC model is trained on greedy-human rollouts
 (synthetic stand-in for human data; the reference ships no cleaned human
 data either, only dummy CSVs).
 
-The CI-scale absolute-reward threshold test (>=30 sparse, mirroring the
-reference assertion) is opt-in via OVERCOOKED_SLOW_TESTS=1 -- it needs a
-few minutes of real training.
+The CI-scale absolute-reward threshold test (>=30 episode_reward_mean,
+the metric behind the reference assertion -- mixed shaped reward summed
+over both agents) is opt-in via OVERCOOKED_SLOW_TESTS=1 -- it needs a few
+minutes of real training.
 """
 
 import os
@@ -175,5 +176,5 @@ def test_ppo_bc_threshold_asymmetric_advantages_tomato():
     )
     ts, hist = train(spec, cfg, num_iterations=20, seed=0,
                      bc_policy=bc_policy)
-    last5 = np.mean([float(m.episode_sparse_reward) for m in hist[-5:]])
+    last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 30, last5

@@ -86,7 +86,7 @@ def test_pool_threshold_no_phi():
         entropy_coeff_horizon=1e5, lr=1e-3,
     )
     ts, hist = train(specs, cfg, num_iterations=30, seed=0)
-    last5 = np.mean([float(m.episode_sparse_reward) for m in hist[-5:]])
+    last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 7, last5
 
 
@@ -103,5 +103,5 @@ def test_pool_threshold_phi():
     )
     ts, hist = train(specs, cfg, num_iterations=30, seed=0,
                      potential_fn=phi)
-    last5 = np.mean([float(m.episode_sparse_reward) for m in hist[-5:]])
+    last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 5, last5
