@@ -317,3 +317,24 @@ def make_greedy_human_model(
         return chosen.astype(jnp.int32)
 
     return greedy
+
+
+def save_agent(agent, path):
+    """Serialize a policy/AgentFn with dill (reference Agent.save,
+    agent.py:74-98: dill-pickles the whole agent object)."""
+    import dill
+
+    path = str(path)
+    if not path.endswith(".dill"):
+        path += ".dill"
+    with open(path, "wb") as f:
+        dill.dump(agent, f)
+    return path
+
+
+def load_agent(path):
+    """Load an agent saved by save_agent (reference Agent.load)."""
+    import dill
+
+    with open(str(path), "rb") as f:
+        return dill.load(f)

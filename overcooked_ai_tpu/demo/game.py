@@ -55,6 +55,7 @@ class DemoGame:
         self.trajectory = []
         self.tick_count = 0
         self.last_info = None  # env info of the most recent tick
+        self.claimed_seats = set()  # lobby readiness (server.join_game)
 
     def activate(self):
         with self.lock:

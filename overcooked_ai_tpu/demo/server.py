@@ -34,6 +34,9 @@ TICK_FPS = 6  # reference app.py:291 fps=6
 
 _games = {}
 _games_lock = threading.Lock()
+# fixed pool of reusable game ids (reference app.py:69-101: FREE_IDS queue
+# + FREE_MAP); an id returns to the pool on /api/leave or stale reaping
+_free_ids = list(range(MAX_GAMES - 1, -1, -1))
 
 
 def _tick_loop(game_id):
@@ -49,16 +52,29 @@ def _tick_loop(game_id):
         time.sleep(1.0 / TICK_FPS)
 
 
+def _reap_finished_locked():
+    """Free ids of games that finished >60s ago (caller holds the lock)."""
+    now = time.time()
+    for gid, g in list(_games.items()):
+        if g.is_over() and now - (g.start_time or now) > 60:
+            del _games[gid]
+            _free_ids.append(int(gid))
+
+
 def create_game(layout="cramped_room", npc="greedy", game_time=120,
                 tutorial=False):
     """npc: greedy | boltzmann | ppo:<ckpt_dir> | bc:<model_dir> | human
     (trained checkpoints load as NPC policies, reference get_policy
     overcooked_demo/server/game.py:674-692); tutorial=True starts the
-    phased tutorial instead (reference OvercookedTutorial)."""
+    phased tutorial instead (reference OvercookedTutorial); npc="human"
+    creates an all-human game that stays pending until the second seat
+    joins (readiness handshake, reference app.py:485-520)."""
     with _games_lock:
-        if len(_games) >= MAX_GAMES:
+        if not _free_ids:
+            _reap_finished_locked()
+        if not _free_ids:
             raise RuntimeError("server at capacity")
-        game_id = uuid.uuid4().hex[:8]
+        game_id = str(_free_ids.pop())
         if tutorial:
             game = TutorialGame()
         else:
@@ -70,10 +86,46 @@ def create_game(layout="cramped_room", npc="greedy", game_time=120,
                 npc_policies=npc_policies,
                 game_time=game_time,
             )
+        game.claimed_seats = {0}
         _games[game_id] = game
+    if len(game.claimed_seats) == len(game.human_seats):
+        _start_game(game_id, game)
+    return game_id, game
+
+
+def _start_game(game_id, game):
     game.activate()
     threading.Thread(target=_tick_loop, args=(game_id,), daemon=True).start()
-    return game_id, game
+
+
+def join_game(game_id):
+    """Claim a free human seat; the game starts once every human seat is
+    claimed (reference join lobby flow, app.py:485-520)."""
+    with _games_lock:
+        game = _games.get(game_id)
+        if game is None:
+            raise KeyError("no such game")
+        free = [s for s in game.human_seats if s not in game.claimed_seats]
+        if not free:
+            raise RuntimeError("game full")
+        seat = free[0]
+        game.claimed_seats.add(seat)
+        ready = len(game.claimed_seats) == len(game.human_seats)
+    if ready and not game.active:
+        _start_game(game_id, game)
+    return seat
+
+
+def leave_game(game_id):
+    """End a game and return its id to the pool (reference leave/disconnect
+    handlers + atexit cleanup, app.py:521-610)."""
+    with _games_lock:
+        game = _games.pop(game_id, None)
+        if game is None:
+            raise KeyError("no such game")
+        game.active = False
+        _free_ids.append(int(game_id))
+    return game
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -137,10 +189,17 @@ class Handler(BaseHTTPRequestHandler):
         if game is None:
             return self._json({"error": "no such game"}, 404)
         if url.path == "/api/join":
-            free = [s for s in game.human_seats if s != 0]
-            if not free:
-                return self._json({"error": "game full"}, 400)
-            return self._json({"seat": free[0]})
+            try:
+                seat = join_game(game_id)
+            except (KeyError, RuntimeError) as e:
+                return self._json({"error": str(e)}, 400)
+            return self._json({"seat": seat, "started": game.active})
+        if url.path == "/api/leave":
+            try:
+                leave_game(game_id)
+            except KeyError as e:
+                return self._json({"error": str(e)}, 404)
+            return self._json({"ok": True})
         if url.path == "/api/action":
             try:
                 action = int(body["action"])

@@ -60,12 +60,24 @@ def restore_checkpoint(ckpt_dir, ts_template: TrainState, step=None):
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics log."""
+    """Append-only JSONL metrics log, optionally mirrored to TensorBoard.
 
-    def __init__(self, path):
+    The reference pushes rllib custom metrics to TensorBoard via
+    UnifiedLogger (rllib.py:453-483,715-730); pass tensorboard=True to
+    write TB event files next to the JSONL (torch's SummaryWriter, no
+    TF dependency)."""
+
+    def __init__(self, path, tensorboard=False):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         self._f = open(path, "a")
+        self._tb = None
+        if tensorboard:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(
+                log_dir=os.path.join(os.path.dirname(os.path.abspath(path)), "tb")
+            )
 
     def log(self, step, metrics):
         row = {"step": step}
@@ -76,6 +88,12 @@ class MetricsLogger:
             row[k] = v.item() if v.size == 1 else v.tolist()
         self._f.write(json.dumps(row) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "step" and np.isscalar(v):
+                    self._tb.add_scalar(k, v, step)
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -191,3 +191,27 @@ def classproperty(func):
             return self.fget(klass if klass is not None else type(obj))
 
     return _ClassPropertyDescriptor(func)
+
+def device_trace(log_dir):
+    """Context manager: capture a jax.profiler device trace viewable in
+    TensorBoard/Perfetto (SURVEY section 5 "tracing": the reference has only
+    the cProfile decorator above, utils.py:206-220; on TPU the device
+    timeline is the useful view).
+
+    Usage:
+        with device_trace("/tmp/jax-trace"):
+            train_iteration(ts)
+    """
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def _ctx():
+        jax.profiler.start_trace(str(log_dir))
+        try:
+            yield
+        finally:
+            jax.profiler.stop_trace()
+
+    return _ctx()

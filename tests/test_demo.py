@@ -150,3 +150,50 @@ def test_trained_npc_loading(tmp_path):
     assert len(rows) == 5
     acts = [json.loads(r["joint_action"])[1] for r in rows]
     assert all(0 <= a <= 5 for a in acts)
+
+
+def test_lobby_id_pool_and_handshake(demo):
+    """Fixed id pool + all-human readiness handshake (reference
+    app.py:69-101,485-520): an all-human game stays pending until seat 1
+    joins; /api/leave returns the id to the pool."""
+    out = _post("/api/create", {"layout": "cramped_room", "npc": "human",
+                                "game_time": 300})
+    gid = out["game_id"]
+    assert gid.isdigit()  # pool ids, not uuids
+
+    # pending: not active until the second human joins
+    payload = _get(f"/api/state?game_id={gid}")
+    assert payload["done"] is False
+
+    joined = _post("/api/join", {"game_id": gid})
+    assert joined["seat"] == 1
+    assert joined["started"] is True
+
+    # second join must fail (both seats claimed)
+    full = _post("/api/join", {"game_id": gid})
+    assert "error" in full
+
+    assert _post("/api/leave", {"game_id": gid})["ok"]
+    try:
+        gone = _get(f"/api/state?game_id={gid}")
+    except urllib.error.HTTPError as e:
+        gone = json.loads(e.read())
+    assert gone.get("error")
+
+    # ids are reusable: fill the remaining pool (earlier tests hold some
+    # ids), hit capacity, then release everything we created
+    created = []
+    while True:
+        r = _post("/api/create", {"npc": "human"})
+        if "error" in r:
+            break
+        created.append(r["game_id"])
+    assert created, "pool should have had free ids"
+    assert len(set(created)) == len(created)
+    # released ids become creatable again
+    _post("/api/leave", {"game_id": created[0]})
+    again = _post("/api/create", {"npc": "human"})
+    assert again.get("game_id") == created[0]
+    created[0] = again["game_id"]
+    for g in created:
+        _post("/api/leave", {"game_id": g})
