@@ -88,21 +88,44 @@ class JointMotionTables:
         self._adj = adj
         self._cell_idx = cell_idx
 
-        # all-pairs joint distances via Dijkstra from every node (costs 1-2)
+        # all-pairs joint distances (edge costs 1-2). The native Dial-bucket
+        # kernel (native/planner_tables.cpp) does this in milliseconds; the
+        # Python Dijkstra fallback takes ~70 s on the largest layout.
         n_nodes = len(pairs)
-        self.dist = np.full((n_nodes, n_nodes), INF_COST, np.int32)
-        for src in range(n_nodes):
-            d = self.dist[src]
-            d[src] = 0
-            heap = [(0, src)]
-            while heap:
-                du, u = heapq.heappop(heap)
-                if du > d[u]:
-                    continue
-                for v, c, _ in adj[u]:
-                    if du + c < d[v]:
-                        d[v] = du + c
-                        heapq.heappush(heap, (du + c, v))
+        self.dist = self._all_pairs_native(adj, n_nodes)
+        if self.dist is None:
+            self.dist = np.full((n_nodes, n_nodes), INF_COST, np.int32)
+            for src in range(n_nodes):
+                d = self.dist[src]
+                d[src] = 0
+                heap = [(0, src)]
+                while heap:
+                    du, u = heapq.heappop(heap)
+                    if du > d[u]:
+                        continue
+                    for v, c, _ in adj[u]:
+                        if du + c < d[v]:
+                            d[v] = du + c
+                            heapq.heappush(heap, (du + c, v))
+
+    @staticmethod
+    def _all_pairs_native(adj, n_nodes):
+        from overcooked_ai_tpu.planning import _native
+
+        if not _native.available():
+            return None
+        indptr = np.zeros(n_nodes + 1, np.int32)
+        for u, edges in enumerate(adj):
+            indptr[u + 1] = indptr[u] + len(edges)
+        indices = np.empty(indptr[-1], np.int32)
+        costs = np.empty(indptr[-1], np.int32)
+        k = 0
+        for edges in adj:
+            for v, c, _ in edges:
+                indices[k] = v
+                costs[k] = c
+                k += 1
+        return _native.all_pairs_shortest(indptr, indices, costs, INF_COST)
 
     def node(self, pos1, pos2) -> int:
         return self.pair_idx[

@@ -92,3 +92,24 @@ def test_mlam_enumeration():
     }
     deliver = mlam.get_medium_level_actions(start, 0)
     assert len(deliver) == len(mlam.deliver_soup_actions())
+
+
+def test_native_joint_tables_match_python():
+    """The C++ all-pairs kernel (native/planner_tables.cpp) must produce
+    the exact table the Python Dijkstra fallback does."""
+    from overcooked_ai_tpu.planning import _native
+    from overcooked_ai_tpu.planning.joint import JointMotionTables
+
+    spec = from_layout_name("cramped_room")
+    terrain = np.asarray(spec.layout.terrain)
+    if not _native.available():
+        pytest.skip("native toolchain unavailable")
+    a = JointMotionTables(terrain)
+    # force the Python path
+    saved = (_native._lib, _native._load_failed)
+    try:
+        _native._lib, _native._load_failed = None, True
+        b = JointMotionTables(terrain)
+    finally:
+        _native._lib, _native._load_failed = saved
+    np.testing.assert_array_equal(a.dist, b.dist)
