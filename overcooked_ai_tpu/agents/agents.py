@@ -174,16 +174,29 @@ def make_greedy_human_model(
         soup_nearly_ready = jnp.any(ready | cooking)
         other_has_dish = other_held == OBJ_DISH
 
-        # ---- candidate feature-cell mask per ml_action branch (:506-567) ----
-        dish_mask = (terrain == TERRAIN_DISH_DISP) | (obj == OBJ_DISH)
-        onion_mask = (terrain == TERRAIN_ONION_DISP) | (
-            (obj == OBJ_ONION) & (terrain == TERRAIN_COUNTER)
-        )
+        # ---- candidate feature-cell masks per ml_action branch (:506-567),
+        # split into terrain candidates (tie rank = row-major list order)
+        # and counter-object candidates (tie rank = insertion order via
+        # State.obj_seq), matching the reference's dispensers-then-
+        # counter_objects list concatenation + first-strict-min scan ----
+        is_counter_cell = terrain == TERRAIN_COUNTER
+        dish_terr = terrain == TERRAIN_DISH_DISP
+        dish_objs = is_counter_cell & (obj == OBJ_DISH)
+        onion_terr = terrain == TERRAIN_ONION_DISP
+        onion_objs = is_counter_cell & (obj == OBJ_ONION)
+        no_cells = jnp.zeros_like(is_counter_cell)
         cookable = three_items  # order is 3 ingredients
-        no_obj_mask = jnp.where(
-            soup_nearly_ready & ~other_has_dish,
-            dish_mask,
-            jnp.where(jnp.any(cookable), cookable, onion_mask),
+        pick_dish = soup_nearly_ready & ~other_has_dish
+        any_cookable = jnp.any(cookable)
+        no_obj_terr = jnp.where(
+            pick_dish,
+            dish_terr,
+            jnp.where(any_cookable, cookable, onion_terr),
+        )
+        no_obj_objs = jnp.where(
+            pick_dish,
+            dish_objs,
+            jnp.where(any_cookable, no_cells, onion_objs),
         )
         fill_mask = partially_full | empty_pot
         held_mask = jnp.where(
@@ -199,16 +212,32 @@ def make_greedy_human_model(
                 ),
             ),
         )
-        candidates = jnp.where(held == OBJ_NONE, no_obj_mask, held_mask)
+        no_obj = held == OBJ_NONE
+        cand_terr = jnp.where(no_obj, no_obj_terr, held_mask)
+        cand_objs = jnp.where(no_obj, no_obj_objs, no_cells)
+        candidates = cand_terr | cand_objs
 
         # ---- cost map for this player (single dynamic gather) ----
         px, py, o_i = state.pos[i, 0], state.pos[i, 1], state.orient[i]
         cost_map = tables.feature_cost[o_i, py, px]  # (H, W)
         action_map = tables.first_action[o_i, py, px].astype(jnp.int32)
 
-        cost = jnp.where(candidates, cost_map, INF_COST).reshape(-1)
-        best = jnp.argmin(cost)
-        reachable = cost[best] < INF_COST
+        # reference tie order: terrain list (row-major) before counter
+        # objects (insertion order) -- see core/featurize._closest
+        hw = height * width
+        cell_rank = jnp.arange(hw, dtype=jnp.int32).reshape(height, width)
+        obj_rank = jnp.minimum(state.obj_seq + 2 * hw, 4095)
+        finite = cost_map < INF_COST
+        key = jnp.minimum(
+            jnp.where(
+                cand_terr & finite, cost_map * 4096 + cell_rank, 2**31 - 1
+            ),
+            jnp.where(
+                cand_objs & finite, cost_map * 4096 + obj_rank, 2**31 - 1
+            ),
+        ).reshape(-1)
+        best = jnp.argmin(key)
+        reachable = key[best] < 2**31 - 1
 
         # fallback: closest of onion/tomato disp + pots + dish disp (:577-586)
         feature_mask = (

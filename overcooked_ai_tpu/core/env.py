@@ -57,6 +57,7 @@ def compress_state(state: State) -> State:
         obj=state.obj.astype(i8),
         soup_ing=state.soup_ing.astype(i8),
         soup_tick=state.soup_tick.astype(i8),
+        obj_seq=state.obj_seq.astype(jnp.int16),  # stamps reach t*P ~ 2k
         t=state.t.astype(jnp.int32),
     )
 

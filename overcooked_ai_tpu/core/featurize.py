@@ -65,17 +65,42 @@ def _player_cost_map(feature_cost, pos, orient):
     return feature_cost[orient, pos[1], pos[0]]
 
 
-def _closest(cost_map, loc_mask, px, py):
-    """Masked min/argmin: returns (found, dx, dy, argmin_onehot)."""
+_RANK_STRIDE = 4096  # > max candidate rank; real costs are << 2^19/stride
+_KEY_MAX = jnp.int32(2**31 - 1)
+
+
+def _closest(cost_map, loc_mask, px, py, obj_mask=None, obj_rank=None):
+    """Masked min/argmin with the reference's tie order.
+
+    The reference scans `dispenser locations + counter objects` keeping the
+    first strict minimum (min_cost_to_feature, planners.py:404-417), so cost
+    ties resolve to: terrain candidates first (row-major == terrain_pos_dict
+    order), then counter objects in dict-insertion order. `loc_mask` holds
+    the terrain candidates (tie rank = cell index); `obj_mask`/`obj_rank`
+    hold counter-object candidates with their insertion rank (from
+    State.obj_seq). Returns (found, dx, dy, argmin_onehot).
+    """
     height, width = cost_map.shape
-    cost = jnp.where(loc_mask, cost_map, INF_COST).reshape(-1)
-    idx = jnp.argmin(cost)  # first occurrence = row-major tie-break
-    best = cost[idx]
-    found = best < INF_COST
+    hw = height * width
+    cell_rank = jnp.arange(hw, dtype=jnp.int32).reshape(height, width)
+    finite = cost_map < INF_COST
+
+    def key_of(mask, rank):
+        rank = jnp.minimum(rank, _RANK_STRIDE - 1)  # very-long-horizon guard
+        return jnp.where(
+            mask & finite, cost_map * _RANK_STRIDE + rank, _KEY_MAX
+        )
+
+    key = key_of(loc_mask, cell_rank)
+    if obj_mask is not None:
+        key = jnp.minimum(key, key_of(obj_mask, obj_rank))
+    key = key.reshape(-1)
+    idx = jnp.argmin(key)
+    found = key[idx] < _KEY_MAX
     fy, fx = idx // width, idx % width
     dx = jnp.where(found, fx - px, 0)
     dy = jnp.where(found, fy - py, 0)
-    onehot = (jnp.arange(height * width) == idx) & found
+    onehot = (jnp.arange(hw) == idx) & found
     return found, dx, dy, onehot.reshape(height, width)
 
 
@@ -94,13 +119,24 @@ def featurize(
     i32 = jnp.int32
 
     is_counter = terrain == TERRAIN_COUNTER
-    onion_locs = (terrain == TERRAIN_ONION_DISP) | (obj == OBJ_ONION)
-    tomato_locs = (terrain == TERRAIN_TOMATO_DISP) | (obj == OBJ_TOMATO)
-    dish_locs = (terrain == TERRAIN_DISH_DISP) | (obj == OBJ_DISH)
-    soup_locs = is_counter & (obj == OBJ_SOUP)
+    # terrain candidates (tie rank = row-major cell order, matching the
+    # reference terrain_pos_dict lists) vs counter-object candidates (tie
+    # rank = insertion order via State.obj_seq); reference concatenates
+    # dispensers + counter_objects (overcooked_mdp.py:2769-2800)
+    onion_terr = terrain == TERRAIN_ONION_DISP
+    onion_objs = is_counter & (obj == OBJ_ONION)
+    tomato_terr = terrain == TERRAIN_TOMATO_DISP
+    tomato_objs = is_counter & (obj == OBJ_TOMATO)
+    dish_terr = terrain == TERRAIN_DISH_DISP
+    dish_objs = is_counter & (obj == OBJ_DISH)
+    soup_objs = is_counter & (obj == OBJ_SOUP)
+    no_objs = jnp.zeros_like(is_counter)
     serve_locs = terrain == TERRAIN_SERVE
     empty_counter_locs = is_counter & (obj == OBJ_NONE)
     pot_locs = terrain == TERRAIN_POT
+    hw = height * width
+    # insertion rank: always after every terrain candidate (rank >= hw)
+    obj_rank = state.obj_seq + 2 * hw
 
     g_no, g_nt = _slot_counts(state.soup_ing)
     g_n = g_no + g_nt
@@ -135,9 +171,11 @@ def featurize(
 
         feats = [ori, objs]
 
-        def closest_deltas(loc_mask, held_code):
+        def closest_deltas(terr_mask, obj_mask, held_code):
             held_match = held == held_code
-            found, dx, dy, onehot = _closest(cost_map, loc_mask, px, py)
+            found, dx, dy, onehot = _closest(
+                cost_map, terr_mask, px, py, obj_mask, obj_rank
+            )
             use = ~held_match
             return (
                 jnp.stack([dx * use, dy * use]).astype(dtype),
@@ -145,10 +183,12 @@ def featurize(
                 onehot,
             )
 
-        d_onion, _, _ = closest_deltas(onion_locs, OBJ_ONION)
-        d_tomato, _, _ = closest_deltas(tomato_locs, OBJ_TOMATO)
-        d_dish, _, _ = closest_deltas(dish_locs, OBJ_DISH)
-        d_soup, soup_found, soup_onehot = closest_deltas(soup_locs, OBJ_SOUP)
+        d_onion, _, _ = closest_deltas(onion_terr, onion_objs, OBJ_ONION)
+        d_tomato, _, _ = closest_deltas(tomato_terr, tomato_objs, OBJ_TOMATO)
+        d_dish, _, _ = closest_deltas(dish_terr, dish_objs, OBJ_DISH)
+        d_soup, soup_found, soup_onehot = closest_deltas(
+            no_objs, soup_objs, OBJ_SOUP
+        )
         # closest-soup ingredient counts: held soup wins, else the soup
         # object at the argmin counter cell (reference :2643-2654)
         held_is_soup = held == OBJ_SOUP
@@ -162,8 +202,8 @@ def featurize(
             h_nt[i],
             jnp.where(soup_found, jnp.sum(g_nt * soup_onehot), 0),
         )
-        d_serve, _, _ = closest_deltas(serve_locs, -1)  # never held
-        d_empty_counter, _, _ = closest_deltas(empty_counter_locs, -1)
+        d_serve, _, _ = closest_deltas(serve_locs, no_objs, -1)  # never held
+        d_empty_counter, _, _ = closest_deltas(empty_counter_locs, no_objs, -1)
 
         feats += [
             d_onion,

@@ -46,6 +46,14 @@ class State(NamedTuple):
     obj: np.ndarray  # (H, W) OBJ_* code of object at cell (0 = none)
     soup_ing: np.ndarray  # (H, W, 3) soup ingredient slots per cell
     soup_tick: np.ndarray  # (H, W) soup cooking tick per cell (-1 = idle/absent)
+    # Placement stamp per cell: the reference keeps objects in a dict whose
+    # *insertion order* breaks cost ties in featurize/greedy candidate scans
+    # (min_cost_to_feature takes the first strict min, planners.py:404-417)
+    # and orders to_dict()["objects"]. Stamp = t*P + i + 1 when player i
+    # places an object at step t (strictly increasing in placement order);
+    # negative values -n..-1 for pre-existing objects loaded via
+    # state_from_dict (in their list order); 0 = no object ever placed.
+    obj_seq: np.ndarray  # (H, W) int32 insertion stamp
     t: np.ndarray  # ()   timestep
 
 
@@ -60,6 +68,7 @@ def zeros_state(num_players: int, height: int, width: int) -> State:
         obj=np.zeros((height, width), i32),
         soup_ing=np.zeros((height, width, MAX_NUM_INGREDIENTS), i32),
         soup_tick=np.full((height, width), -1, i32),
+        obj_seq=np.zeros((height, width), i32),
         t=np.zeros((), i32),
     )
 
@@ -105,8 +114,9 @@ def state_to_dict(state: State, spec) -> dict:
 
     `spec` is a LayoutSpec (layout.py); it supplies the order lists and the
     recipe time table needed to emit `cook_time` fields. Grid objects are
-    emitted in row-major (y, x) order; the reference emits dict insertion
-    order, so compare with `canonical_state_dict`.
+    emitted in placement (obj_seq) order, matching the reference's dict
+    insertion order; `canonical_state_dict` remains for order-insensitive
+    comparison.
     """
     players = []
     for i in range(state.pos.shape[0]):
@@ -137,7 +147,12 @@ def state_to_dict(state: State, spec) -> dict:
 
     objects = []
     obj_grid = np.asarray(state.obj)
-    for y, x in np.argwhere(obj_grid != OBJ_NONE):
+    seq_grid = np.asarray(state.obj_seq)
+    cells = sorted(
+        ((y, x) for y, x in np.argwhere(obj_grid != OBJ_NONE)),
+        key=lambda yx: (int(seq_grid[yx[0], yx[1]]), int(yx[0]), int(yx[1])),
+    )
+    for y, x in cells:
         code = int(obj_grid[y, x])
         if code == OBJ_SOUP:
             slots = np.asarray(state.soup_ing[y, x])
@@ -186,10 +201,14 @@ def state_from_dict(state_dict: dict, spec) -> State:
                 # a dict with just "_cooking_tick" gets the default -1
                 # (SoupState.__init__ kwargs, overcooked_mdp.py:434-456).
                 st.held_soup_tick[i] = int(held.get("cooking_tick", -1))
-    for o in state_dict["objects"]:
+    n_obj = len(state_dict["objects"])
+    for k, o in enumerate(state_dict["objects"]):
         x, y = (int(v) for v in o["position"])
         code = OBJ_NAME_TO_CODE[o["name"]]
         st.obj[y, x] = code
+        # preserve the list's (= reference dict insertion) order as
+        # negative stamps -n..-1, always earlier than any stepped placement
+        st.obj_seq[y, x] = k - n_obj
         if code == OBJ_SOUP:
             st.soup_ing[y, x] = _slots_from_ingredient_dicts(o["_ingredients"])
             st.soup_tick[y, x] = int(o.get("cooking_tick", -1))

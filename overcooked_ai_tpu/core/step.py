@@ -145,6 +145,7 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
     obj = state.obj.reshape(num_cells)
     soup_ing = state.soup_ing.reshape(num_cells, MAX_NUM_INGREDIENTS)
     soup_tick = state.soup_tick.reshape(num_cells)
+    obj_seq = state.obj_seq.reshape(num_cells)
 
     sparse = jnp.zeros((num_players,), jnp.int32)
     shaped = jnp.zeros((num_players,), jnp.int32)
@@ -389,6 +390,19 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
         obj = _mwrite(obj, cmask, cell_changed, new_cell_obj)
         soup_ing = _mwrite(soup_ing, cmask, cell_changed, new_cell_slots)
         soup_tick = _mwrite(soup_tick, cmask, cell_changed, new_cell_tick)
+        # insertion stamp: a NEW dict entry appears on counter drops and on
+        # a first ingredient potted into an empty pot cell (reference
+        # state.add_object call sites, :1472,1544); entries disappear on
+        # pickups. Adding to an existing soup mutates in place (no restamp).
+        placed = counter_drop | (pot_ok & (cell_obj == OBJ_NONE))
+        removed = counter_pickup | soup_pickup
+        stamp = state.t * num_players + i + 1  # strictly increasing
+        obj_seq = _mwrite(
+            obj_seq,
+            cmask,
+            placed | removed,
+            jnp.where(placed, stamp, 0),
+        )
 
     # ------------------------------------------------------------------
     # 2. resolve_movement (reference :1644-1709)
@@ -444,6 +458,7 @@ def step(layout: Layout, state: State, actions: jnp.ndarray):
         obj=obj.reshape(height, width),
         soup_ing=soup_ing.reshape(height, width, MAX_NUM_INGREDIENTS),
         soup_tick=tick2.reshape(height, width),
+        obj_seq=obj_seq.reshape(height, width),
         t=state.t + 1,
     )
     return next_state, StepInfo(sparse, shaped, events)

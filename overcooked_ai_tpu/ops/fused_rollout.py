@@ -87,8 +87,10 @@ def _make_step(spec):
     time_t = np.asarray(lay.time_table)
     deliv_t = np.asarray(lay.delivery_value)
 
-    def step(terr_col, px, py, orient, held, hsoup, htick, obj, sing, stick, actions):
-        """actions: (P, Bt) i32. Returns updated arrays + sparse (P, Bt)."""
+    def step(terr_col, px, py, orient, held, hsoup, htick, obj, sing, stick,
+             seq, tvec, actions):
+        """actions: (P, Bt) i32; tvec: (1, Bt) current timestep.
+        Returns updated arrays + sparse (P, Bt)."""
         Bt = px.shape[-1]
         iota_hw = jax.lax.broadcasted_iota(jnp.int32, (HW, Bt), 0)
 
@@ -226,6 +228,15 @@ def _make_step(spec):
             obj = jnp.where(wmask, new_cell_obj[None, :], obj)
             sing = jnp.where(wmask[None], new_cell_slots[:, None, :], sing)
             stick = jnp.where(wmask, new_cell_tick[None, :], stick)
+            # insertion stamp (see core/step.py): new dict entry on counter
+            # drop / first pot ingredient; cleared on pickups
+            placed = counter_drop | (pot_ok & (cell_obj == OBJ_NONE))
+            removed = counter_pickup | soup_pickup
+            stamp = tvec[0] * P + (i + 1)  # (Bt,)
+            new_seq = jnp.where(placed, stamp, 0)
+            seq = jnp.where(
+                mask & (placed | removed)[None, :], new_seq[None, :], seq
+            )
 
         sparse = jnp.stack(sparse_rows)
         held = jnp.stack(held_rows)
@@ -275,13 +286,13 @@ def _make_step(spec):
         cooking = is_soup & (tick1 >= 0) & (tick1 < cook_t)
         tick2 = jnp.where(cooking, tick1 + 1, tick1)
 
-        return fx, fy, new_orient, held, hsoup, htick, obj, sing, tick2, sparse
+        return fx, fy, new_orient, held, hsoup, htick, obj, sing, tick2, seq, sparse
 
     return step
 
 
 def _reset_operands(spec):
-    """Layout start state as 9 column-vector numpy arrays (kernel operands).
+    """Layout start state as 10 column-vector numpy arrays (kernel operands).
 
     Shapes broadcast directly against the (lead..., Bt) carried state, so the
     done-predicated reset is a single jnp.where per field.
@@ -298,6 +309,7 @@ def _reset_operands(spec):
         np.asarray(start.obj, np.int32).reshape(HW)[:, None],  # (HW, 1)
         np.asarray(start.soup_ing, np.int32).reshape(HW, _SLOTS).T[:, :, None].copy(),
         np.asarray(start.soup_tick, np.int32).reshape(HW)[:, None],
+        np.asarray(start.obj_seq, np.int32).reshape(HW)[:, None],
     )
 
 
@@ -324,12 +336,13 @@ def _state_to_tiles(state: State):
         state.obj.reshape(H * W, B).astype(jnp.int32),
         jnp.moveaxis(state.soup_ing.reshape(H * W, _SLOTS, B), 1, 0).astype(jnp.int32),
         state.soup_tick.reshape(H * W, B).astype(jnp.int32),
+        state.obj_seq.reshape(H * W, B).astype(jnp.int32),
         state.t.reshape(1, B).astype(jnp.int32),
     )
 
 
 def _tiles_to_state(arrs, H, W) -> State:
-    px, py, orient, held, hsoup, htick, obj, sing, stick, t = arrs
+    px, py, orient, held, hsoup, htick, obj, sing, stick, seq, t = arrs
     B = px.shape[-1]
     return State(
         pos=jnp.stack([px, py], axis=1),
@@ -340,6 +353,7 @@ def _tiles_to_state(arrs, H, W) -> State:
         obj=obj.reshape(H, W, B),
         soup_ing=jnp.moveaxis(sing, 0, 1).reshape(H, W, _SLOTS, B),
         soup_tick=stick.reshape(H, W, B),
+        obj_seq=seq.reshape(H, W, B),
         t=t.reshape(B),
     )
 
@@ -364,6 +378,7 @@ def _state_specs(spec, block_b):
         bs(HW),  # obj
         bs(_SLOTS, HW),  # sing
         bs(HW),  # stick
+        bs(HW),  # obj_seq
         bs(1),  # t
     ]
 
@@ -373,10 +388,10 @@ def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
     P = spec.num_players
 
     def kernel(seed_ref, actions_ref, terr_ref, *refs):
-        reset_vals = tuple(r[:] for r in refs[:9])
-        state_in = refs[9:19]
-        state_out = refs[19:29]
-        ret_ref = refs[29]
+        reset_vals = tuple(r[:] for r in refs[:10])
+        state_in = refs[10:21]
+        state_out = refs[21:32]
+        ret_ref = refs[32]
         terr_col = terr_ref[:]  # (HW, 1)
 
         carry = tuple(r[:] for r in state_in)
@@ -403,22 +418,30 @@ def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
             return (x >> jnp.uint32(8)).astype(jnp.int32) % 6
 
         def body(k, loop_carry):
-            (px, py, orient, held, hsoup, htick, obj, sing, stick, t), ret = loop_carry
+            (px, py, orient, held, hsoup, htick, obj, sing, stick, seq, t), ret = (
+                loop_carry
+            )
             if use_rng:
                 actions = _hash_actions(k)
             else:
                 actions = actions_ref[k]  # (P, Bt)
-            px, py, orient, held, hsoup, htick, obj, sing, stick, sparse = step(
-                terr_col, px, py, orient, held, hsoup, htick, obj, sing, stick, actions
+            px, py, orient, held, hsoup, htick, obj, sing, stick, seq, sparse = step(
+                terr_col, px, py, orient, held, hsoup, htick, obj, sing,
+                stick, seq, t, actions,
             )
             ret = ret + jnp.sum(sparse, axis=0, keepdims=True)
             t = t + 1
             done = (t >= horizon)[0]  # (Bt,)
-            px, py, orient, held, hsoup, htick, obj, sing, stick = _apply_reset(
-                reset_vals, done, (px, py, orient, held, hsoup, htick, obj, sing, stick)
+            px, py, orient, held, hsoup, htick, obj, sing, stick, seq = _apply_reset(
+                reset_vals,
+                done,
+                (px, py, orient, held, hsoup, htick, obj, sing, stick, seq),
             )
             t = jnp.where(done[None], 0, t)
-            return (px, py, orient, held, hsoup, htick, obj, sing, stick, t), ret
+            return (
+                (px, py, orient, held, hsoup, htick, obj, sing, stick, seq, t),
+                ret,
+            )
 
         carry, ret = jax.lax.fori_loop(0, num_steps, body, (carry, ret0))
         for r, v in zip(state_out, carry):
@@ -501,7 +524,7 @@ def _fused_rollout(
         *[jnp.asarray(r) for r in reset_ops],
         *state_arrs,
     )
-    return tuple(outs[:10]), outs[10].reshape(B)
+    return tuple(outs[:11]), outs[11].reshape(B)
 
 
 def fused_rollout_random(

