@@ -462,6 +462,50 @@ def make_ppo(
     return init_fn, train_iteration
 
 
+def make_ppo_eval(spec, net_config=None, num_games: int = 8,
+                  horizon: int = 400, bc_policy=None):
+    """Evaluation rollout of the current policy, reward-shaping-free
+    (reference custom eval fn, rllib.py:517-648: periodic self-play -- or
+    ppo+bc -- games reporting mean sparse episode return).
+
+    Returns eval(params, key) -> () f32 mean sparse return per episode;
+    jitted, runs entirely on device. With bc_policy, seat 1 is the BC
+    partner in every game (reference evaluate() agent pairing).
+    """
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    num_players = spec.num_players
+    net = PPONet(net_config or NetConfig())
+    height, width = spec.height, spec.width
+    B = num_games
+    encode = jax.vmap(lossless_encode, in_axes=(None, -1), out_axes=0)
+
+    @jax.jit
+    def evaluate(params, key):
+        state0 = batch_reset(layout, B)
+
+        def body(state, key_t):
+            enc = encode(layout, state)
+            enc = jnp.transpose(enc, (1, 0, 3, 4, 2))
+            obs = enc.reshape(num_players * B, height, width, 26)
+            logits, _ = net.apply(params, obs)
+            key_a, key_b = jax.random.split(key_t)
+            action = jax.random.categorical(key_a, logits)
+            actions_pb = action.reshape(num_players, B)
+            if bc_policy is not None:
+                bc_actions = bc_policy(key_b, layout, state)
+                actions_pb = actions_pb.at[1].set(bc_actions[1])
+            next_state, info = jax.vmap(
+                env_transition, in_axes=(None, -1, -1), out_axes=-1
+            )(layout, state, actions_pb)
+            return next_state, jnp.sum(info.sparse_reward, axis=0)
+
+        keys = jax.random.split(key, horizon)
+        _, sparse = jax.lax.scan(body, state0, keys)
+        return jnp.sum(sparse) / B
+
+    return evaluate
+
+
 def train(
     spec,
     config: PPOConfig,

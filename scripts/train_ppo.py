@@ -46,6 +46,12 @@ def main():
         help="resume from the latest checkpoint in --out",
     )
     ap.add_argument("--platform", default=None, help="cpu to force local CPU")
+    ap.add_argument(
+        "--eval-interval", type=int, default=0,
+        help="every N iters, run shaping-free eval games and log "
+        "eval_sparse_reward (reference evaluation_interval + custom eval)",
+    )
+    ap.add_argument("--eval-games", type=int, default=8)
     args = ap.parse_args()
 
     if args.platform:
@@ -136,12 +142,25 @@ def main():
         f"for {args.iters} iters x {config.train_batch_size} env steps",
         flush=True,
     )
+    eval_fn = None
+    if args.eval_interval:
+        from overcooked_ai_tpu.training.ppo import make_ppo_eval
+
+        eval_fn = make_ppo_eval(
+            spec, config.net, num_games=args.eval_games,
+            bc_policy=bc_policy,
+        )
+
     t_start = time.time()
     for it in range(start_iter + 1, start_iter + args.iters + 1):
         t0 = time.time()
         ts, m = train_it(ts)
         m = jax.device_get(m)
         log.log(it, m)
+        if eval_fn and it % args.eval_interval == 0:
+            ev = float(eval_fn(ts.params, jax.random.PRNGKey(it)))
+            log.log(it, {"eval_sparse_reward": ev})
+            print(f"iter {it}: eval_sparse={ev:.1f}", flush=True)
         if it % 10 == 0 or it == 1:
             print(
                 f"iter {it}: sparse={float(m.episode_sparse_reward):.1f} "
