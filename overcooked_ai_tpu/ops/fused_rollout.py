@@ -432,16 +432,16 @@ def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
             ret = ret + jnp.sum(sparse, axis=0, keepdims=True)
             t = t + 1
             done = (t >= horizon)[0]  # (Bt,)
-            px, py, orient, held, hsoup, htick, obj, sing, stick, seq = _apply_reset(
+            # NOTE: unconditional reset selects beat a lax.cond skip here
+            # (measured 150M vs 143M steps/s) -- Mosaic pays more for the
+            # per-step branch than for 11 predicated selects
+            carry_next = _apply_reset(
                 reset_vals,
                 done,
                 (px, py, orient, held, hsoup, htick, obj, sing, stick, seq),
             )
             t = jnp.where(done[None], 0, t)
-            return (
-                (px, py, orient, held, hsoup, htick, obj, sing, stick, seq, t),
-                ret,
-            )
+            return carry_next + (t,), ret
 
         carry, ret = jax.lax.fori_loop(0, num_steps, body, (carry, ret0))
         for r, v in zip(state_out, carry):
