@@ -23,12 +23,16 @@ from overcooked_ai_tpu.training.ppo import (
     PPOConfig,
     TrainState,
     _anneal,
+    _bc_factor_at,
+    bc_seat_mask,
 )
 
 MAX_SEQ_LEN = 20  # rllib default
 
 
-def make_ppo_lstm(spec, config: PPOConfig):
+def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
+    """Recurrent PPO; bc_policy enables BC-partner episodes exactly like
+    the feed-forward learner (see training.ppo.make_ppo docstring)."""
     layout = jax.tree.map(jnp.asarray, spec.layout)
     num_players = spec.num_players
     assert num_players == 2
@@ -68,9 +72,17 @@ def make_ppo_lstm(spec, config: PPOConfig):
         env_transition, in_axes=(None, -1, -1), out_axes=-1
     )
 
-    def rollout(params, key, shaping_factor):
+    use_bc = bc_policy is not None and any(v for _, v in config.bc_schedule)
+
+    def rollout(params, key, shaping_factor, bc_factor):
         state0 = batch_reset(layout, B)
         carry0 = net.initial_carry(N)
+        key, k_bc, k_seat = jax.random.split(key, 3)
+        if use_bc:
+            bc_mask = bc_seat_mask(k_bc, k_seat, bc_factor, num_players, B)
+        else:
+            bc_mask = jnp.zeros((num_players, B), bool)
+        train_mask = (~bc_mask).reshape(N).astype(jnp.float32)
 
         def body(carry, key_t):
             state, lstm_carry = carry
@@ -80,9 +92,13 @@ def make_ppo_lstm(spec, config: PPOConfig):
             )
             logits = logits_seq[:, 0]
             value = value_seq[:, 0]
-            action = jax.random.categorical(key_t, logits)
+            key_a, key_b = jax.random.split(key_t)
+            action = jax.random.categorical(key_a, logits)
             logp = jax.nn.log_softmax(logits)[jnp.arange(N), action]
             actions_pb = action.reshape(num_players, B)
+            if use_bc:
+                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             next_state, info = batched_transition(layout, state, actions_pb)
             sparse_sum = jnp.sum(info.sparse_reward, axis=0)
             reward = (
@@ -98,6 +114,7 @@ def make_ppo_lstm(spec, config: PPOConfig):
                 reward=reward,
                 carry_h=lstm_carry[0],
                 carry_c=lstm_carry[1],
+                mask=train_mask,
                 sparse=sparse_sum,
                 shaped=jnp.sum(info.shaped_reward, axis=0),
             )
@@ -130,14 +147,18 @@ def make_ppo_lstm(spec, config: PPOConfig):
     n_minibatches = max(n_chunks // mb_chunks, 1)
 
     def loss_fn(params, batch, kl_coeff, entropy_coeff):
-        obs, action, logp_old, logits_old, value_old, adv, vt, h0, c0 = batch
+        (obs, action, logp_old, logits_old, value_old, adv, vt, mask,
+         h0, c0) = batch
         # obs: (mb, L, H, W, 26); run the LSTM from the recorded carry
         logits, value, _ = net.apply(params, obs, (h0, c0))
         flat = lambda x: x.reshape((-1,) + x.shape[2:])  # noqa: E731
         logits, value = flat(logits), flat(value)
         action, logp_old = flat(action), flat(logp_old)
         logits_old, value_old = flat(logits_old), flat(value_old)
-        adv, vt = flat(adv), flat(vt)
+        adv, vt, mask = flat(adv), flat(vt), flat(mask)
+        wmean = lambda x: jnp.sum(x * mask) / jnp.maximum(  # noqa: E731
+            jnp.sum(mask), 1.0
+        )
         logp_all = jax.nn.log_softmax(logits)
         logp = logp_all[jnp.arange(action.shape[0]), action]
         ratio = jnp.exp(logp - logp_old)
@@ -146,17 +167,17 @@ def make_ppo_lstm(spec, config: PPOConfig):
             jnp.clip(ratio, 1 - config.clip_param, 1 + config.clip_param)
             * adv,
         )
-        policy_loss = -jnp.mean(surr)
+        policy_loss = -wmean(surr)
         p_old = jax.nn.softmax(logits_old)
-        kl = jnp.mean(
+        kl = wmean(
             jnp.sum(p_old * (jax.nn.log_softmax(logits_old) - logp_all), -1)
         )
-        entropy = -jnp.mean(jnp.sum(jax.nn.softmax(logits) * logp_all, -1))
+        entropy = -wmean(jnp.sum(jax.nn.softmax(logits) * logp_all, -1))
         vf_loss1 = jnp.square(value - vt)
         v_clipped = value_old + jnp.clip(
             value - value_old, -config.vf_clip_param, config.vf_clip_param
         )
-        vf_loss = jnp.mean(
+        vf_loss = wmean(
             jnp.maximum(vf_loss1, jnp.square(v_clipped - vt))
         )
         total = (
@@ -183,11 +204,14 @@ def make_ppo_lstm(spec, config: PPOConfig):
             config.entropy_coeff_horizon,
             config.entropy_coeff_end,
         )
-        traj = rollout(ts.params, k_roll, shaping_factor)
+        bc_factor = _bc_factor_at(config.bc_schedule, ts.env_steps)
+        traj = rollout(ts.params, k_roll, shaping_factor, bc_factor)
         advantages, value_targets = gae(traj)
-        advantages = (advantages - advantages.mean()) / (
-            advantages.std() + 1e-8
-        )
+        m = traj["mask"]
+        m_sum = jnp.maximum(jnp.sum(m), 1.0)
+        a_mean = jnp.sum(advantages * m) / m_sum
+        a_std = jnp.sqrt(jnp.sum(jnp.square(advantages - a_mean) * m) / m_sum)
+        advantages = (advantages - a_mean) / (a_std + 1e-8)
 
         # (T, N, ...) -> chunks (n_chunks, L, ...): split T into windows,
         # carries taken from the window's first step
@@ -209,6 +233,7 @@ def make_ppo_lstm(spec, config: PPOConfig):
             chunk(traj["value"]),
             chunk(advantages),
             chunk(value_targets),
+            chunk(traj["mask"]),
             chunk_first(traj["carry_h"]),
             chunk_first(traj["carry_c"]),
         )
@@ -267,8 +292,8 @@ def make_ppo_lstm(spec, config: PPOConfig):
             kl_coeff=kl_coeff,
             reward_shaping_factor=shaping_factor,
             entropy_coeff=entropy_coeff,
-            bc_factor=jnp.zeros(()),
-            bc_sample_fraction=jnp.zeros(()),
+            bc_factor=bc_factor,
+            bc_sample_fraction=jnp.mean(1.0 - traj["mask"]),
         )
         return new_ts, metrics
 

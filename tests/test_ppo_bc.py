@@ -192,3 +192,28 @@ def test_ppo_bc_threshold_asymmetric_advantages_tomato():
                      bc_policy=bc_policy)
     last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 30, last5
+
+
+def test_ppo_lstm_bc_partner_runs():
+    """Recurrent PPO with a BC partner (reference LSTM model + bc policies,
+    ppo_rllib.py:89-237 + rllib.py:262-281): masking plumbed, finite loss."""
+    from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+    spec = from_layout_name("cramped_room")
+    mt, bc_params, bc_cfg = _train_greedy_bc(spec, epochs=1, num_games=1,
+                                             horizon=40)
+    bc_policy = bc_policy_batch(spec, mt.feature_cost, bc_params, bc_cfg)
+    cfg = PPOConfig(
+        num_envs=2,
+        horizon=40,
+        sgd_minibatch_size=100,
+        num_sgd_iter=2,
+        lr=5e-4,
+        bc_schedule=((0, 1.0), (float("inf"), 1.0)),
+    )
+    init_fn, train_it = make_ppo_lstm(spec, cfg, bc_policy=bc_policy)
+    ts = init_fn(jax.random.PRNGKey(0))
+    ts, m = train_it(ts)
+    assert np.isfinite(float(m.kl))
+    assert abs(float(m.bc_sample_fraction) - 0.5) < 1e-6
+    assert float(m.bc_factor) == 1.0
