@@ -177,18 +177,21 @@ def test_ppo_bc_threshold_asymmetric_advantages_tomato():
         spec, epochs=10, num_games=4, horizon=200, behavior="random"
     )
     bc_policy = bc_policy_batch(spec, mt.feature_cost, bc_params, bc_cfg)
+    # reference test inherits the production train batch (12000 steps/iter
+    # = 30 envs x 400); calibrated on TPU: total reward reaches ~76 by
+    # iter 30 at lr 5e-4 (>=30 with 2.5x margin)
     cfg = PPOConfig(
-        num_envs=8,
+        num_envs=30,
         horizon=400,
-        sgd_minibatch_size=800,
+        sgd_minibatch_size=1000,
         num_sgd_iter=8,
         entropy_coeff_start=0.1,
         entropy_coeff_end=0.01,
         entropy_coeff_horizon=1e5,
-        lr=1e-3,
+        lr=5e-4,
         bc_schedule=((0, 0.0), (8e3, 1.0), (float("inf"), 1.0)),
     )
-    ts, hist = train(spec, cfg, num_iterations=20, seed=0,
+    ts, hist = train(spec, cfg, num_iterations=30, seed=0,
                      bc_policy=bc_policy)
     last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 30, last5
