@@ -392,3 +392,60 @@ def _json_default(o):
     if isinstance(o, tuple):
         return list(o)
     raise TypeError(f"not serializable: {type(o)}")
+
+
+def get_empty_trajectory():
+    """Reference overcooked_trajectory.get_empty_trajectory (:44-46)."""
+    return {k: [] if k != "metadatas" else {} for k in DEFAULT_TRAJ_KEYS}
+
+
+def append_trajectories(traj_one, traj_two):
+    """Concatenate two reference-format trajectory dicts (reference
+    overcooked_trajectory.append_trajectories, :49-76; drops metadatas)."""
+    if not traj_one and not traj_two:
+        return {}
+    traj_one = traj_one or get_empty_trajectory()
+    traj_two = traj_two or get_empty_trajectory()
+    if set(traj_one.keys()) != set(DEFAULT_TRAJ_KEYS) or set(
+        traj_two.keys()
+    ) != set(DEFAULT_TRAJ_KEYS):
+        raise ValueError("trajectories must have the standard key set")
+    out = {"metadatas": {}}
+    for k in DEFAULT_TRAJ_KEYS:
+        if k != "metadatas":
+            out[k] = list(traj_one[k]) + list(traj_two[k])
+    return out
+
+
+def get_discounted_rewards(trajectories, gamma):
+    """Per-episode discounted return (reference OvercookedEnv.
+    get_discounted_rewards, overcooked_env.py:591-605)."""
+    rews = np.asarray(trajectories["ep_rewards"], dtype=float)
+    if rews.ndim == 3:  # (games, T, P) per-agent rewards -> summed
+        rews = rews.sum(-1)
+    horizon = rews.shape[1]
+    discount = gamma ** np.arange(horizon)
+    return np.sum(rews[:, :horizon] * discount, axis=1)
+
+
+def proportion_stuck_time(trajectories, agent_idx, stuck_time=3):
+    """Fraction of steps the agent's (pos, orient) was unchanged over the
+    trailing `stuck_time` window (reference proportion_stuck_time,
+    overcooked_env.py:637-666). ep_states entries are state dicts."""
+    stuck_matrix = []
+    for ep, length in zip(
+        trajectories["ep_states"], trajectories["ep_lengths"]
+    ):
+        flags = []
+        for t in range(stuck_time, int(length)):
+            window = ep[t - stuck_time : t + 1]
+            pos_or = {
+                (
+                    tuple(s["players"][agent_idx]["position"]),
+                    tuple(s["players"][agent_idx]["orientation"]),
+                )
+                for s in window
+            }
+            flags.append(len(pos_or) == 1)
+        stuck_matrix.append(np.mean(flags) if flags else 0.0)
+    return np.mean(stuck_matrix)

@@ -109,3 +109,38 @@ def test_fixed_plan_and_sample_agents():
     sample = make_sample_agent([probs, probs])
     a = int(sample(jax.random.PRNGKey(1), layout, state, 0))
     assert 0 <= a < 6
+
+
+def test_trajectory_utils_parity():
+    """append_trajectories / discounted rewards / stuck-time (reference
+    overcooked_trajectory.py:44-76 + overcooked_env.py:591-666)."""
+    import numpy as np
+
+    from overcooked_ai_tpu.agents.agents import stay_agent
+    from overcooked_ai_tpu.agents.evaluation import (
+        append_trajectories,
+        get_discounted_rewards,
+        proportion_stuck_time,
+        run_agent_pair,
+        stateless,
+        trajectories_to_reference_format,
+    )
+    from overcooked_ai_tpu.core.layout import from_layout_name
+
+    spec = from_layout_name("cramped_room")
+    agent = stateless(stay_agent)
+    traj = run_agent_pair(spec, [agent, agent], num_games=2, horizon=10)
+    ref = trajectories_to_reference_format(spec, traj, horizon=10)
+
+    both = append_trajectories(ref, ref)
+    assert len(both["ep_states"]) == 4
+    assert append_trajectories({}, {}) == {}
+    merged = append_trajectories(None, ref)
+    assert len(merged["ep_returns"]) == 2
+
+    disc = get_discounted_rewards(ref, gamma=0.9)
+    assert disc.shape == (2,) and (disc == 0).all()  # stay pair never scores
+
+    # stay agents are stuck 100% of the measurable window
+    stuck = proportion_stuck_time(ref, agent_idx=0, stuck_time=3)
+    assert stuck == 1.0
