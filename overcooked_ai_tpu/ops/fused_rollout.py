@@ -74,10 +74,24 @@ def _make_step(spec):
     """Build the batch-explicit single-step transition for one layout.
 
     Scalar layout data is baked in as trace-time constants; the terrain
-    grid arrives as `terr_col` (HW, 1) read from a kernel operand. Arrays
-    carried per tile (batch axis = minor, size Bt):
+    grid arrives as `terr_col` (HW, 1) read from a kernel operand.
+
+    The per-cell state (object code, 3 ingredient slots, cook tick,
+    insertion stamp) is BIT-PACKED into one int32 word per cell:
+
+        bits 0-2   object code (0..4)
+        bits 3-8   ingredient slots, 2 bits each (0 empty / 1 onion /
+                   2 tomato -- the OBJ_* codes fit directly)
+        bits 9-16  cook tick + 1 (0 = idle/-1; cook times <= 127)
+        bits 17-28 insertion stamp + HW (stamps >= -HW; see core/state.py)
+
+    so each player's interact resolves with ONE masked grid read and ONE
+    masked grid write instead of six -- the dominant VPU cost of the
+    unpacked kernel (the round-1 NOTES bit-packing idea).
+
+    Arrays carried per tile (batch axis = minor, size Bt):
       px, py, orient, held: (P, Bt) i32    hsoup: (P, 3, Bt)   htick: (P, Bt)
-      obj, stick: (HW, Bt) i32             sing: (3, HW, Bt)
+      grid: (HW, Bt) i32 packed cell words
     """
     lay = spec.layout
     H, W = spec.height, spec.width
@@ -87,8 +101,10 @@ def _make_step(spec):
     time_t = np.asarray(lay.time_table)
     deliv_t = np.asarray(lay.delivery_value)
 
-    def step(terr_col, px, py, orient, held, hsoup, htick, obj, sing, stick,
-             seq, tvec, actions):
+    _TICK_MASK = 255 << 9
+    _SEQ_MAX = 4095
+
+    def step(terr_col, px, py, orient, held, hsoup, htick, grid, tvec, actions):
         """actions: (P, Bt) i32; tvec: (1, Bt) current timestep.
         Returns updated arrays + sparse (P, Bt)."""
         Bt = px.shape[-1]
@@ -112,11 +128,21 @@ def _make_step(spec):
             mask = iota_hw == lin[None, :]  # (HW, Bt)
 
             tt = jnp.sum(jnp.where(mask, terr_col, 0), axis=0)
-            cell_obj = jnp.sum(jnp.where(mask, obj, 0), axis=0)
-            cell_slots = jnp.sum(jnp.where(mask[None], sing, 0), axis=1)  # (3,Bt)
-            cell_tick = jnp.sum(jnp.where(mask, stick, 0), axis=0)
-            c_no = jnp.sum((cell_slots == OBJ_ONION).astype(jnp.int32), 0)
-            c_nt = jnp.sum((cell_slots == OBJ_TOMATO).astype(jnp.int32), 0)
+            w = jnp.sum(jnp.where(mask, grid, 0), axis=0)  # packed cell word
+            cell_obj = w & 7
+            s0 = (w >> 3) & 3
+            s1 = (w >> 5) & 3
+            s2 = (w >> 7) & 3
+            cell_tick = ((w >> 9) & 255) - 1
+            i32 = jnp.int32
+            c_no = (
+                (s0 == 1).astype(i32) + (s1 == 1).astype(i32)
+                + (s2 == 1).astype(i32)
+            )
+            c_nt = (
+                (s0 == 2).astype(i32) + (s1 == 2).astype(i32)
+                + (s2 == 2).astype(i32)
+            )
             c_n = c_no + c_nt
             cook_time = _table_select(time_t, c_no, c_nt)
             cell_is_soup = cell_obj == OBJ_SOUP
@@ -149,8 +175,9 @@ def _make_step(spec):
             )
             deliver = inter & (tt == TERRAIN_SERVE) & (held_i == OBJ_SOUP)
 
-            h_no = jnp.sum((hsoup[i] == OBJ_ONION).astype(jnp.int32), 0)
-            h_nt = jnp.sum((hsoup[i] == OBJ_TOMATO).astype(jnp.int32), 0)
+            hs = hsoup[i]  # (3, Bt) slot codes
+            h_no = jnp.sum((hs == OBJ_ONION).astype(i32), 0)
+            h_nt = jnp.sum((hs == OBJ_TOMATO).astype(i32), 0)
             sparse_rows[i] = sparse_rows[i] + jnp.where(
                 deliver, _table_select(deliv_t, h_no, h_nt), 0
             )
@@ -179,13 +206,14 @@ def _make_step(spec):
             )
             gained = (counter_pickup & cell_is_soup) | soup_pickup
             lost = counter_drop | deliver
+            cell_slots = jnp.stack([s0, s1, s2])  # codes == slot values
             new_hsoup_i = jnp.where(
-                gained[None], cell_slots, jnp.where(lost[None], 0, hsoup[i])
+                gained[None], cell_slots, jnp.where(lost[None], 0, hs)
             )
             new_htick_i = jnp.where(gained, cell_tick, jnp.where(lost, -1, htick[i]))
 
-            # --- cell mutations ---
-            new_cell_obj = jnp.where(
+            # --- packed cell mutation (one masked write) ---
+            obj_f = jnp.where(
                 counter_drop,
                 held_i,
                 jnp.where(
@@ -194,49 +222,50 @@ def _make_step(spec):
                     jnp.where(pot_ok, OBJ_SOUP, cell_obj),
                 ),
             )
-            slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_SLOTS, Bt), 0)
-            base_count = jnp.where(cell_obj == OBJ_NONE, 0, c_n)
-            potted_slots = jnp.where(
-                slot_iota == base_count[None],
-                held_i[None],
-                jnp.where((cell_obj == OBJ_NONE)[None], 0, cell_slots),
+            old_bits = w & (0x3F << 3)
+            hs_bits = (hs[0] << 3) | (hs[1] << 5) | (hs[2] << 7)
+            base = jnp.where(cell_obj == OBJ_NONE, 0, c_n)
+            add_bits = jnp.where(
+                base == 0,
+                held_i << 3,
+                jnp.where(base == 1, held_i << 5, held_i << 7),
             )
-            new_cell_slots = jnp.where(
-                (counter_drop & (held_i == OBJ_SOUP))[None],
-                hsoup[i],
-                jnp.where(
-                    (counter_pickup | soup_pickup)[None],
-                    0,
-                    jnp.where(pot_ok[None], potted_slots, cell_slots),
-                ),
-            )
-            new_cell_tick = jnp.where(
+            pot_bits = jnp.where(cell_obj == OBJ_NONE, 0, old_bits) | add_bits
+            slots_f = jnp.where(
                 counter_drop & (held_i == OBJ_SOUP),
-                htick[i],
+                hs_bits,
                 jnp.where(
                     counter_pickup | soup_pickup,
-                    -1,
-                    jnp.where(start_cook, 0, jnp.where(pot_ok, -1, cell_tick)),
+                    0,
+                    jnp.where(pot_ok, pot_bits, old_bits),
                 ),
             )
+            tickp1_f = jnp.where(
+                counter_drop & (held_i == OBJ_SOUP),
+                htick[i] + 1,
+                jnp.where(
+                    counter_pickup | soup_pickup,
+                    0,
+                    jnp.where(
+                        start_cook,
+                        1,
+                        jnp.where(pot_ok, 0, (w >> 9) & 255),
+                    ),
+                ),
+            )
+            placed = counter_drop | (pot_ok & (cell_obj == OBJ_NONE))
+            removed = counter_pickup | soup_pickup
+            stamp = jnp.minimum(tvec[0] * P + (i + 1) + HW, _SEQ_MAX)
+            seq_f = jnp.where(
+                placed, stamp, jnp.where(removed, HW, (w >> 17) & _SEQ_MAX)
+            )
+            new_w = obj_f | slots_f | (tickp1_f << 9) | (seq_f << 17)
 
             changed = counter_drop | counter_pickup | soup_pickup | pot_ok | start_cook
-            wmask = mask & changed[None, :]  # (HW, Bt)
             held_rows[i] = new_held_i
             hsoup_rows[i] = new_hsoup_i
             htick_rows[i] = new_htick_i
-            obj = jnp.where(wmask, new_cell_obj[None, :], obj)
-            sing = jnp.where(wmask[None], new_cell_slots[:, None, :], sing)
-            stick = jnp.where(wmask, new_cell_tick[None, :], stick)
-            # insertion stamp (see core/step.py): new dict entry on counter
-            # drop / first pot ingredient; cleared on pickups
-            placed = counter_drop | (pot_ok & (cell_obj == OBJ_NONE))
-            removed = counter_pickup | soup_pickup
-            stamp = tvec[0] * P + (i + 1)  # (Bt,)
-            new_seq = jnp.where(placed, stamp, 0)
-            seq = jnp.where(
-                mask & (placed | removed)[None, :], new_seq[None, :], seq
-            )
+            grid = jnp.where(mask & changed[None, :], new_w[None, :], grid)
 
         sparse = jnp.stack(sparse_rows)
         held = jnp.stack(held_rows)
@@ -275,20 +304,52 @@ def _make_step(spec):
         fy = jnp.where(collision[None], py, ny)
 
         # ---- 3. step_environment_effects (reference :1691-1703)
-        g_no = jnp.sum((sing == OBJ_ONION).astype(jnp.int32), 0)  # (HW, Bt)
-        g_nt = jnp.sum((sing == OBJ_TOMATO).astype(jnp.int32), 0)
-        is_soup = obj == OBJ_SOUP
-        tick1 = stick
+        i32 = jnp.int32
+        s0 = (grid >> 3) & 3
+        s1 = (grid >> 5) & 3
+        s2 = (grid >> 7) & 3
+        g_no = (
+            (s0 == 1).astype(i32) + (s1 == 1).astype(i32)
+            + (s2 == 1).astype(i32)
+        )
+        g_nt = (
+            (s0 == 2).astype(i32) + (s1 == 2).astype(i32)
+            + (s2 == 2).astype(i32)
+        )
+        is_soup = (grid & 7) == OBJ_SOUP
+        tickp1 = (grid >> 9) & 255
         if old_dynamics:
-            auto = is_soup & (stick < 0) & ((g_no + g_nt) == 3)
-            tick1 = jnp.where(auto, 0, stick)
+            auto = is_soup & (tickp1 == 0) & ((g_no + g_nt) == 3)
+            tickp1 = jnp.where(auto, 1, tickp1)
         cook_t = _table_select(time_t, g_no, g_nt)
-        cooking = is_soup & (tick1 >= 0) & (tick1 < cook_t)
-        tick2 = jnp.where(cooking, tick1 + 1, tick1)
+        cooking = is_soup & (tickp1 > 0) & (tickp1 - 1 < cook_t)
+        new_tickp1 = tickp1 + cooking.astype(i32)
+        grid = (grid & ~_TICK_MASK) | (new_tickp1 << 9)
 
-        return fx, fy, new_orient, held, hsoup, htick, obj, sing, tick2, seq, sparse
+        return fx, fy, new_orient, held, hsoup, htick, grid, sparse
 
     return step
+
+
+def _pack_grid(obj, sing, stick, seq, hw_offset):
+    """(HW, B) obj/stick/seq + (3, HW, B) sing -> packed (HW, B) words."""
+    return (
+        obj
+        | (sing[0] << 3)
+        | (sing[1] << 5)
+        | (sing[2] << 7)
+        | ((stick + 1) << 9)
+        | ((seq + hw_offset) << 17)
+    )
+
+
+def _unpack_grid(grid, hw_offset):
+    """packed words -> (obj, sing (3, HW, B), stick, seq)."""
+    obj = grid & 7
+    sing = jnp.stack([(grid >> 3) & 3, (grid >> 5) & 3, (grid >> 7) & 3])
+    stick = ((grid >> 9) & 255) - 1
+    seq = ((grid >> 17) & 4095) - hw_offset
+    return obj, sing, stick, seq
 
 
 def _reset_operands(spec):
@@ -388,13 +449,22 @@ def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
     P = spec.num_players
 
     def kernel(seed_ref, actions_ref, terr_ref, *refs):
-        reset_vals = tuple(r[:] for r in refs[:10])
+        raw_reset = tuple(r[:] for r in refs[:10])
         state_in = refs[10:21]
         state_out = refs[21:32]
         ret_ref = refs[32]
         terr_col = terr_ref[:]  # (HW, 1)
+        HW = terr_col.shape[0]
 
-        carry = tuple(r[:] for r in state_in)
+        raw = tuple(r[:] for r in state_in)
+        # pack obj/sing/stick/seq into one word grid for the loop; I/O stays
+        # in the State layout
+        grid0 = _pack_grid(raw[6], raw[7], raw[8], raw[9], HW)
+        carry = raw[:6] + (grid0, raw[10])
+        reset_vals = raw_reset[:6] + (
+            _pack_grid(raw_reset[6], raw_reset[7], raw_reset[8],
+                       raw_reset[9], HW),
+        )
         Bt = carry[0].shape[-1]
         ret0 = jnp.zeros((1, Bt), jnp.int32)
         if use_rng:
@@ -418,33 +488,32 @@ def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
             return (x >> jnp.uint32(8)).astype(jnp.int32) % 6
 
         def body(k, loop_carry):
-            (px, py, orient, held, hsoup, htick, obj, sing, stick, seq, t), ret = (
-                loop_carry
-            )
+            (px, py, orient, held, hsoup, htick, grid, t), ret = loop_carry
             if use_rng:
                 actions = _hash_actions(k)
             else:
                 actions = actions_ref[k]  # (P, Bt)
-            px, py, orient, held, hsoup, htick, obj, sing, stick, seq, sparse = step(
-                terr_col, px, py, orient, held, hsoup, htick, obj, sing,
-                stick, seq, t, actions,
+            px, py, orient, held, hsoup, htick, grid, sparse = step(
+                terr_col, px, py, orient, held, hsoup, htick, grid, t, actions
             )
             ret = ret + jnp.sum(sparse, axis=0, keepdims=True)
             t = t + 1
             done = (t >= horizon)[0]  # (Bt,)
             # NOTE: unconditional reset selects beat a lax.cond skip here
             # (measured 150M vs 143M steps/s) -- Mosaic pays more for the
-            # per-step branch than for 11 predicated selects
+            # per-step branch than for the predicated selects
             carry_next = _apply_reset(
                 reset_vals,
                 done,
-                (px, py, orient, held, hsoup, htick, obj, sing, stick, seq),
+                (px, py, orient, held, hsoup, htick, grid),
             )
             t = jnp.where(done[None], 0, t)
             return carry_next + (t,), ret
 
         carry, ret = jax.lax.fori_loop(0, num_steps, body, (carry, ret0))
-        for r, v in zip(state_out, carry):
+        obj_o, sing_o, stick_o, seq_o = _unpack_grid(carry[6], HW)
+        out_vals = carry[:6] + (obj_o, sing_o, stick_o, seq_o, carry[7])
+        for r, v in zip(state_out, out_vals):
             r[:] = v
         ret_ref[:] = ret
 
