@@ -83,11 +83,14 @@ def _make_step(spec):
         bits 3-8   ingredient slots, 2 bits each (0 empty / 1 onion /
                    2 tomato -- the OBJ_* codes fit directly)
         bits 9-16  cook tick + 1 (0 = idle/-1; cook times <= 127)
-        bits 17-28 insertion stamp + HW (stamps >= -HW; see core/state.py)
+        bits 17-27 insertion stamp + HW, clamped to 2047 (stamps >= -HW;
+                   exact for 2-player/horizon-400; see core/state.py)
+        bits 28-30 terrain code (0..6, static)
 
     so each player's interact resolves with ONE masked grid read and ONE
-    masked grid write instead of six -- the dominant VPU cost of the
-    unpacked kernel (the round-1 NOTES bit-packing idea).
+    masked grid write instead of six separate reads plus a terrain read --
+    the dominant VPU cost of the unpacked kernel (the round-1 NOTES
+    bit-packing idea).
 
     Arrays carried per tile (batch axis = minor, size Bt):
       px, py, orient, held: (P, Bt) i32    hsoup: (P, 3, Bt)   htick: (P, Bt)
@@ -102,7 +105,7 @@ def _make_step(spec):
     deliv_t = np.asarray(lay.delivery_value)
 
     _TICK_MASK = 255 << 9
-    _SEQ_MAX = 4095
+    _SEQ_MAX = 2047
 
     def step(terr_col, px, py, orient, held, hsoup, htick, grid, tvec, actions):
         """actions: (P, Bt) i32; tvec: (1, Bt) current timestep.
@@ -127,8 +130,8 @@ def _make_step(spec):
             lin = (py[i] + dy) * W + (px[i] + dx)  # (Bt,)
             mask = iota_hw == lin[None, :]  # (HW, Bt)
 
-            tt = jnp.sum(jnp.where(mask, terr_col, 0), axis=0)
             w = jnp.sum(jnp.where(mask, grid, 0), axis=0)  # packed cell word
+            tt = (w >> 28) & 7  # terrain rides in the word: one read total
             cell_obj = w & 7
             s0 = (w >> 3) & 3
             s1 = (w >> 5) & 3
@@ -259,7 +262,9 @@ def _make_step(spec):
             seq_f = jnp.where(
                 placed, stamp, jnp.where(removed, HW, (w >> 17) & _SEQ_MAX)
             )
-            new_w = obj_f | slots_f | (tickp1_f << 9) | (seq_f << 17)
+            new_w = (
+                obj_f | slots_f | (tickp1_f << 9) | (seq_f << 17) | (tt << 28)
+            )
 
             changed = counter_drop | counter_pickup | soup_pickup | pot_ok | start_cook
             held_rows[i] = new_held_i
@@ -331,15 +336,17 @@ def _make_step(spec):
     return step
 
 
-def _pack_grid(obj, sing, stick, seq, hw_offset):
-    """(HW, B) obj/stick/seq + (3, HW, B) sing -> packed (HW, B) words."""
+def _pack_grid(obj, sing, stick, seq, terr, hw_offset):
+    """(HW, B) obj/stick/seq + (3, HW, B) sing + (HW, 1) terrain ->
+    packed (HW, B) words."""
     return (
         obj
         | (sing[0] << 3)
         | (sing[1] << 5)
         | (sing[2] << 7)
         | ((stick + 1) << 9)
-        | ((seq + hw_offset) << 17)
+        | (jnp.minimum(seq + hw_offset, 2047) << 17)
+        | (terr << 28)
     )
 
 
@@ -348,7 +355,7 @@ def _unpack_grid(grid, hw_offset):
     obj = grid & 7
     sing = jnp.stack([(grid >> 3) & 3, (grid >> 5) & 3, (grid >> 7) & 3])
     stick = ((grid >> 9) & 255) - 1
-    seq = ((grid >> 17) & 4095) - hw_offset
+    seq = ((grid >> 17) & 2047) - hw_offset
     return obj, sing, stick, seq
 
 
@@ -459,11 +466,11 @@ def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
         raw = tuple(r[:] for r in state_in)
         # pack obj/sing/stick/seq into one word grid for the loop; I/O stays
         # in the State layout
-        grid0 = _pack_grid(raw[6], raw[7], raw[8], raw[9], HW)
+        grid0 = _pack_grid(raw[6], raw[7], raw[8], raw[9], terr_col, HW)
         carry = raw[:6] + (grid0, raw[10])
         reset_vals = raw_reset[:6] + (
             _pack_grid(raw_reset[6], raw_reset[7], raw_reset[8],
-                       raw_reset[9], HW),
+                       raw_reset[9], terr_col, HW),
         )
         Bt = carry[0].shape[-1]
         ret0 = jnp.zeros((1, Bt), jnp.int32)
