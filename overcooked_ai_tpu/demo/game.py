@@ -125,10 +125,23 @@ class DemoGame:
                 "done": self.is_over(),
             }
 
-    def get_data(self):
-        """Recorded trajectory rows in the human-data schema."""
+    def get_data(self, write_dir: Optional[str] = None):
+        """Recorded trajectory rows in the human-data schema; optionally
+        pickle them to `write_dir` like the reference (game.py:694-711,
+        result.pkl per game)."""
         with self.lock:
-            return list(self.trajectory)
+            rows = list(self.trajectory)
+        if write_dir and rows:
+            import os
+            import pickle
+
+            os.makedirs(write_dir, exist_ok=True)
+            path = os.path.join(
+                write_dir, f"{self.layout_name}_{int(time.time())}.pkl"
+            )
+            with open(path, "wb") as f:
+                pickle.dump({"uid": str(time.time()), "trajectory": rows}, f)
+        return rows
 
 
 class TutorialAI:

@@ -154,6 +154,26 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
+        if url.path == "/api/debug":
+            # server introspection (reference /debug route, app.py:394-430)
+            with _games_lock:
+                return self._json(
+                    {
+                        "games": {
+                            gid: {
+                                "layout": g.layout_name,
+                                "active": g.active,
+                                "score": g.score,
+                                "tick": g.tick_count,
+                                "over": g.is_over(),
+                                "claimed_seats": sorted(g.claimed_seats),
+                            }
+                            for gid, g in _games.items()
+                        },
+                        "free_ids": sorted(_free_ids),
+                        "max_games": MAX_GAMES,
+                    }
+                )
         q = parse_qs(url.query)
         game_id = (q.get("game_id") or [None])[0]
         with _games_lock:

@@ -197,3 +197,27 @@ def test_lobby_id_pool_and_handshake(demo):
     created[0] = again["game_id"]
     for g in created:
         _post("/api/leave", {"game_id": g})
+
+
+def test_debug_route_and_data_writeout(demo, tmp_path):
+    """/api/debug introspection (reference app.py:394-430) + trajectory
+    pickle write-out (reference get_data, game.py:694-711)."""
+    import pickle
+
+    out = _post("/api/create", {"layout": "cramped_room", "game_time": 300})
+    gid = out["game_id"]
+    dbg = _get("/api/debug")
+    assert gid in dbg["games"]
+    assert dbg["games"][gid]["layout"] == "cramped_room"
+    assert dbg["max_games"] == demo_server.MAX_GAMES
+
+    time.sleep(0.5)  # let a few ticks record
+    with demo_server._games_lock:
+        game = demo_server._games[gid]
+    rows = game.get_data(write_dir=str(tmp_path))
+    assert rows
+    pkls = list(tmp_path.glob("*.pkl"))
+    assert pkls
+    data = pickle.load(open(pkls[0], "rb"))
+    assert data["trajectory"][0]["layout_name"] == "cramped_room"
+    _post("/api/leave", {"game_id": gid})
