@@ -4,22 +4,55 @@ The XLA path (`core/env.rollout_random`) lowers each env step to dozens of
 fused VPU kernels whose intermediates round-trip HBM between fusion
 boundaries; at 16k envs that caps throughput near 90M env-steps/s. This
 kernel instead runs the ENTIRE horizon loop inside one pallas program per
-batch tile: the (HW, B)-shaped state lives in VMEM/vector registers for all
-T steps, HBM is touched exactly twice (load initial state, store final
-state), and actions come from the in-kernel PRNG. Scalar layout data
-(recipe value/time tables, `old_dynamics`) folds in at trace time; the
-array-shaped layout data (terrain grid, reset state) is passed as small
-broadcast VMEM operands (pallas kernels may not capture array constants).
+batch tile: the state lives in VMEM/vector registers for all T steps, HBM
+is touched exactly twice (load initial state, store final state), and
+actions come from an in-kernel counter-based PRNG.
+
+Three structural choices set the VPU economics (round-2 rewrite):
+
+1. **Full-vreg batch fold.** The env batch is reshaped to (B/L, L) with
+   L=128 lanes, so every per-player quantity is a dense (sublane, lane)
+   tile instead of a 1-D row that occupies 1/8 of each int32 vreg. All
+   ~150 per-player ops in the transition get 8x denser.
+2. **Per-cell registers, not a grid tensor.** The grid state (object code,
+   3 ingredient slots, cook tick, insertion stamp — bit-packed into one
+   int32 word per cell, terrain code riding in bits 28-30) is carried as a
+   Python list of K (B/L, L) registers, one per *mutable* cell: the
+   non-EMPTY cells a player can face (4-adjacent to floor) plus pot /
+   start-state-soup cells. Corner counters, walls behind walls and all
+   EMPTY cells are statically inert — they pass through the kernel
+   untouched (with a `ever_done ? start : input` fix-up so auto-reset
+   stays bit-exact). Facing-cell reads/writes are K scalar-constant
+   compares instead of an (HW, B) masked reduction, and terrain + reset
+   values fold into Python int immediates, so the kernel captures NO
+   array constants and needs NO layout operands.
+3. **Static effect rows + terrain bitmask movement.** Cook-tick
+   environment effects (reference overcooked_mdp.py:1691-1703) only ever
+   fire on pot cells (a held soup is always ready, so counter-dropped
+   soups never cook) — they run on the static pot∪start-soup rows only.
+   Movement's "is the target cell floor" test is a bitmask lookup
+   `(EMPTY_MASK >> lin) & 1` against a compile-time constant instead of a
+   grid reduction.
 
 Semantics are the same exact transition as `core/step.py` (reference
 overcooked_mdp.py:1375-1709) minus the outputs this path never consumes:
 the 25-channel event tensor and shaped rewards (XLA dead-code-eliminates
 them in the random-rollout program too, so the comparison is fair). Parity
 with `core.step.step` is tested bit-for-bit via the explicit-actions entry
-point (`fused_rollout_actions`) in tests/test_fused_rollout.py.
+point (`fused_rollout_actions`) in tests/test_fused_rollout.py, including
+across auto-resets.
+
+Known (documented) approximations, identical to the scan path or strictly
+narrower than round 1:
+  - insertion stamps clamp at 2047 (exact for 2-player horizon-400; see
+    core/state.py) — but only on carried rows; inert rows now round-trip
+    unclamped.
+  - a *hand-crafted* initial state with a mid-cook soup on a plain counter
+    (unreachable through play) would tick in the scan path but not here
+    unless that cell also holds a soup in the layout's start state.
 
 Batch layout matches the rest of the framework: env batch on the minor
-(lane) axis of every array.
+axes of every array.
 """
 
 from __future__ import annotations
@@ -51,6 +84,79 @@ from overcooked_ai_tpu.core.constants import (
 from overcooked_ai_tpu.core.state import State
 
 _SLOTS = MAX_NUM_INGREDIENTS  # 3 ingredient slots per soup
+_SEQ_MAX = 2047
+_TICK_MASK = 255 << 9
+
+
+class _Meta:
+    """Static per-layout analysis: which cells are live, constants per cell."""
+
+    def __init__(self, spec):
+        lay = spec.layout
+        H, W = spec.height, spec.width
+        HW = H * W
+        terr = np.asarray(lay.terrain, np.int64).reshape(HW)
+        start = lay.start_state
+        s_obj = np.asarray(start.obj, np.int64).reshape(HW)
+        s_sing = np.asarray(start.soup_ing, np.int64).reshape(HW, _SLOTS)
+        s_stick = np.asarray(start.soup_tick, np.int64).reshape(HW)
+        s_seq = np.asarray(start.obj_seq, np.int64).reshape(HW)
+
+        empty = terr == TERRAIN_EMPTY
+        # cells a player (standing on floor) can face
+        adj = np.zeros(HW, bool)
+        for lin in range(HW):
+            y, x = divmod(lin, W)
+            for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+                ny, nx = y + dy, x + dx
+                if 0 <= ny < H and 0 <= nx < W and empty[ny * W + nx]:
+                    adj[lin] = True
+        faceable = ~empty & adj
+        effects = (terr == TERRAIN_POT) | (s_obj == OBJ_SOUP)
+        mutable = faceable | effects
+
+        self.lins = [int(l) for l in np.nonzero(mutable)[0]]
+        self.k_of_lin = {l: k for k, l in enumerate(self.lins)}
+        self.effect_ks = [self.k_of_lin[int(l)] for l in np.nonzero(effects)[0]]
+        self.tt = [int(terr[l]) for l in self.lins]
+        # packed reset word per carried cell (terrain folded in)
+        self.reset_word = [
+            int(
+                s_obj[l]
+                | (s_sing[l, 0] << 3)
+                | (s_sing[l, 1] << 5)
+                | (s_sing[l, 2] << 7)
+                | ((s_stick[l] + 1) << 9)
+                | (min(s_seq[l] + HW, _SEQ_MAX) << 17)
+                | (terr[l] << 28)
+            )
+            for l in self.lins
+        ]
+        # raw start values for the statically-inert rows (reset fix-up)
+        self.inert = [
+            (int(l), int(s_obj[l]), tuple(int(v) for v in s_sing[l]),
+             int(s_stick[l]), int(s_seq[l]))
+            for l in range(HW)
+            if not mutable[l]
+        ]
+        # floor bitmask, 32 cells per chunk, for movement checks
+        self.empty_masks = []
+        for c in range((HW + 31) // 32):
+            m = 0
+            for b in range(32):
+                l = c * 32 + b
+                if l < HW and empty[l]:
+                    m |= 1 << b
+            self.empty_masks.append(m)
+        # player start constants
+        self.start_px = [int(v) for v in np.asarray(start.pos)[:, 0]]
+        self.start_py = [int(v) for v in np.asarray(start.pos)[:, 1]]
+        self.start_orient = [int(v) for v in np.asarray(start.orient)]
+        self.start_held = [int(v) for v in np.asarray(start.held)]
+        self.start_hsoup = [
+            tuple(int(v) for v in row) for row in np.asarray(start.held_soup)
+        ]
+        self.start_htick = [int(v) for v in np.asarray(start.held_soup_tick)]
 
 
 def _table_select(table_np: np.ndarray, n_o, n_t):
@@ -70,55 +176,40 @@ def _table_select(table_np: np.ndarray, n_o, n_t):
     return out
 
 
-def _make_step(spec):
-    """Build the batch-explicit single-step transition for one layout.
+def _make_step(spec, meta: _Meta):
+    """Build the batch-dense single-step transition for one layout.
 
-    Scalar layout data is baked in as trace-time constants; the terrain
-    grid arrives as `terr_col` (HW, 1) read from a kernel operand.
-
-    The per-cell state (object code, 3 ingredient slots, cook tick,
-    insertion stamp) is BIT-PACKED into one int32 word per cell:
-
-        bits 0-2   object code (0..4)
-        bits 3-8   ingredient slots, 2 bits each (0 empty / 1 onion /
-                   2 tomato -- the OBJ_* codes fit directly)
-        bits 9-16  cook tick + 1 (0 = idle/-1; cook times <= 127)
-        bits 17-27 insertion stamp + HW, clamped to 2047 (stamps >= -HW;
-                   exact for 2-player/horizon-400; see core/state.py)
-        bits 28-30 terrain code (0..6, static)
-
-    so each player's interact resolves with ONE masked grid read and ONE
-    masked grid write instead of six separate reads plus a terrain read --
-    the dominant VPU cost of the unpacked kernel (the round-1 NOTES
-    bit-packing idea).
-
-    Arrays carried per tile (batch axis = minor, size Bt):
-      px, py, orient, held: (P, Bt) i32    hsoup: (P, 3, Bt)   htick: (P, Bt)
-      grid: (HW, Bt) i32 packed cell words
+    All state is Python lists of (Bs, L) int32 tiles:
+      rows: K packed cell words        px/py/orient/held/htick: P tiles
+      hslots: P lists of 3 slot tiles  actions: P tiles   t: one tile
+    Returns the updated lists plus per-player sparse reward tiles.
     """
     lay = spec.layout
-    H, W = spec.height, spec.width
-    HW = H * W
+    W = spec.width
+    HW = spec.height * W
     P = spec.num_players
+    K = len(meta.lins)
     old_dynamics = bool(lay.old_dynamics)
     time_t = np.asarray(lay.time_table)
     deliv_t = np.asarray(lay.delivery_value)
+    i32 = jnp.int32
 
-    _TICK_MASK = 255 << 9
-    _SEQ_MAX = 2047
+    def is_floor(lin):
+        """(EMPTY_MASK >> lin) & 1 against the static floor bitmask."""
+        if len(meta.empty_masks) == 1:
+            bit = (jnp.uint32(meta.empty_masks[0]) >> lin.astype(jnp.uint32)) & 1
+            return bit == 1
+        ok = jnp.zeros(lin.shape, jnp.bool_)
+        for c, m in enumerate(meta.empty_masks):
+            if not m:
+                continue
+            bit = (jnp.uint32(m) >> (lin & 31).astype(jnp.uint32)) & 1
+            ok = ok | (((lin >> 5) == c) & (bit == 1))
+        return ok
 
-    def step(terr_col, px, py, orient, held, hsoup, htick, grid, tvec, actions):
-        """actions: (P, Bt) i32; tvec: (1, Bt) current timestep.
-        Returns updated arrays + sparse (P, Bt)."""
-        Bt = px.shape[-1]
-        iota_hw = jax.lax.broadcasted_iota(jnp.int32, (HW, Bt), 0)
-
-        # Per-player rows as Python lists: static-index slices + a final
-        # stack lower to slice/concat (TPU pallas has no scatter).
-        sparse_rows = [jnp.zeros((Bt,), jnp.int32) for _ in range(P)]
-        held_rows = [held[p] for p in range(P)]
-        hsoup_rows = [hsoup[p] for p in range(P)]
-        htick_rows = [htick[p] for p in range(P)]
+    def step(rows, px, py, orient, held, hslots, htick, t, actions):
+        rows = list(rows)
+        sparse = []
 
         # ---- 1. resolve_interacts: sequential per player (reference :1432)
         for i in range(P):
@@ -127,17 +218,21 @@ def _make_step(spec):
             o = orient[i]
             dx = jnp.where(o == 2, 1, 0) - jnp.where(o == 3, 1, 0)
             dy = jnp.where(o == 1, 1, 0) - jnp.where(o == 0, 1, 0)
-            lin = (py[i] + dy) * W + (px[i] + dx)  # (Bt,)
-            mask = iota_hw == lin[None, :]  # (HW, Bt)
+            lin = (py[i] + dy) * W + (px[i] + dx)
 
-            w = jnp.sum(jnp.where(mask, grid, 0), axis=0)  # packed cell word
+            # facing-cell read: K scalar-constant compares; facing floor
+            # reads an all-zero word = empty cell, no interaction possible
+            eqs = [lin == meta.lins[k] for k in range(K)]
+            w = jnp.zeros(lin.shape, i32)
+            for k in range(K):
+                w = w | jnp.where(eqs[k], rows[k], 0)
+
             tt = (w >> 28) & 7  # terrain rides in the word: one read total
             cell_obj = w & 7
             s0 = (w >> 3) & 3
             s1 = (w >> 5) & 3
             s2 = (w >> 7) & 3
             cell_tick = ((w >> 9) & 255) - 1
-            i32 = jnp.int32
             c_no = (
                 (s0 == 1).astype(i32) + (s1 == 1).astype(i32)
                 + (s2 == 1).astype(i32)
@@ -178,15 +273,19 @@ def _make_step(spec):
             )
             deliver = inter & (tt == TERRAIN_SERVE) & (held_i == OBJ_SOUP)
 
-            hs = hsoup[i]  # (3, Bt) slot codes
-            h_no = jnp.sum((hs == OBJ_ONION).astype(i32), 0)
-            h_nt = jnp.sum((hs == OBJ_TOMATO).astype(i32), 0)
-            sparse_rows[i] = sparse_rows[i] + jnp.where(
-                deliver, _table_select(deliv_t, h_no, h_nt), 0
+            h0, h1, h2 = hslots[i]
+            h_no = (
+                (h0 == OBJ_ONION).astype(i32) + (h1 == OBJ_ONION).astype(i32)
+                + (h2 == OBJ_ONION).astype(i32)
             )
+            h_nt = (
+                (h0 == OBJ_TOMATO).astype(i32) + (h1 == OBJ_TOMATO).astype(i32)
+                + (h2 == OBJ_TOMATO).astype(i32)
+            )
+            sparse.append(jnp.where(deliver, _table_select(deliv_t, h_no, h_nt), 0))
 
             # --- held mutations ---
-            new_held_i = jnp.where(
+            held[i] = jnp.where(
                 counter_drop | deliver | pot_ok,
                 OBJ_NONE,
                 jnp.where(
@@ -209,13 +308,13 @@ def _make_step(spec):
             )
             gained = (counter_pickup & cell_is_soup) | soup_pickup
             lost = counter_drop | deliver
-            cell_slots = jnp.stack([s0, s1, s2])  # codes == slot values
-            new_hsoup_i = jnp.where(
-                gained[None], cell_slots, jnp.where(lost[None], 0, hs)
-            )
-            new_htick_i = jnp.where(gained, cell_tick, jnp.where(lost, -1, htick[i]))
+            hslots[i] = [
+                jnp.where(gained, c, jnp.where(lost, 0, h))
+                for c, h in zip((s0, s1, s2), (h0, h1, h2))
+            ]
+            htick[i] = jnp.where(gained, cell_tick, jnp.where(lost, -1, htick[i]))
 
-            # --- packed cell mutation (one masked write) ---
+            # --- packed cell mutation (one masked write per carried cell) ---
             obj_f = jnp.where(
                 counter_drop,
                 held_i,
@@ -226,7 +325,7 @@ def _make_step(spec):
                 ),
             )
             old_bits = w & (0x3F << 3)
-            hs_bits = (hs[0] << 3) | (hs[1] << 5) | (hs[2] << 7)
+            hs_bits = (h0 << 3) | (h1 << 5) | (h2 << 7)
             base = jnp.where(cell_obj == OBJ_NONE, 0, c_n)
             add_bits = jnp.where(
                 base == 0,
@@ -258,45 +357,35 @@ def _make_step(spec):
             )
             placed = counter_drop | (pot_ok & (cell_obj == OBJ_NONE))
             removed = counter_pickup | soup_pickup
-            stamp = jnp.minimum(tvec[0] * P + (i + 1) + HW, _SEQ_MAX)
+            stamp = jnp.minimum(t * P + (i + 1) + HW, _SEQ_MAX)
             seq_f = jnp.where(
                 placed, stamp, jnp.where(removed, HW, (w >> 17) & _SEQ_MAX)
             )
             new_w = (
                 obj_f | slots_f | (tickp1_f << 9) | (seq_f << 17) | (tt << 28)
             )
-
-            changed = counter_drop | counter_pickup | soup_pickup | pot_ok | start_cook
-            held_rows[i] = new_held_i
-            hsoup_rows[i] = new_hsoup_i
-            htick_rows[i] = new_htick_i
-            grid = jnp.where(mask & changed[None, :], new_w[None, :], grid)
-
-        sparse = jnp.stack(sparse_rows)
-        held = jnp.stack(held_rows)
-        hsoup = jnp.stack(hsoup_rows)
-        htick = jnp.stack(htick_rows)
+            changed = (
+                counter_drop | counter_pickup | soup_pickup | pot_ok | start_cook
+            )
+            for k in range(K):
+                rows[k] = jnp.where(eqs[k] & changed, new_w, rows[k])
+            # NOTE: htick[i] above reads the PRE-interact value when lost is
+            # true via the same expression order as the scan path; gained
+            # and lost are mutually exclusive with pot/held updates.
 
         # ---- 2. resolve_movement (reference :1644-1709)
-        is_dir = actions < 4
-        mdx = jnp.where(actions == 2, 1, 0) - jnp.where(actions == 3, 1, 0)
-        mdy = jnp.where(actions == 1, 1, 0) - jnp.where(actions == 0, 1, 0)
-        new_orient = jnp.where(is_dir, actions, orient)
-        cx, cy = px + mdx, py + mdy  # (P, Bt)
-        empty_col = terr_col == TERRAIN_EMPTY  # (HW, 1)
-        nx, ny = px, py
-        cand_oks = []
+        nx, ny = [], []
         for i in range(P):
-            clin = cy[i] * W + cx[i]
-            cmask = iota_hw == clin[None, :]
-            # int32 reduce: Mosaic can't truncate an i8 bool-sum back to i1
-            cand_oks.append(
-                jnp.sum((cmask & empty_col).astype(jnp.int32), axis=0) > 0
-            )
-        moved = [is_dir[i] & cand_oks[i] for i in range(P)]
-        nx = jnp.stack([jnp.where(moved[i], cx[i], px[i]) for i in range(P)])
-        ny = jnp.stack([jnp.where(moved[i], cy[i], py[i]) for i in range(P)])
-        collision = jnp.zeros((px.shape[-1],), jnp.bool_)
+            a = actions[i]
+            is_dir = a < 4
+            mdx = jnp.where(a == 2, 1, 0) - jnp.where(a == 3, 1, 0)
+            mdy = jnp.where(a == 1, 1, 0) - jnp.where(a == 0, 1, 0)
+            orient[i] = jnp.where(is_dir, a, orient[i])
+            cx, cy = px[i] + mdx, py[i] + mdy
+            moved = is_dir & is_floor(cy * W + cx)
+            nx.append(jnp.where(moved, cx, px[i]))
+            ny.append(jnp.where(moved, cy, py[i]))
+        collision = jnp.zeros(px[0].shape, jnp.bool_)
         for i in range(P):
             for j in range(i + 1, P):
                 same = (nx[i] == nx[j]) & (ny[i] == ny[j])
@@ -305,221 +394,255 @@ def _make_step(spec):
                     & (px[i] == nx[j]) & (py[i] == ny[j])
                 )
                 collision = collision | same | swap
-        fx = jnp.where(collision[None], px, nx)
-        fy = jnp.where(collision[None], py, ny)
+        for i in range(P):
+            px[i] = jnp.where(collision, px[i], nx[i])
+            py[i] = jnp.where(collision, py[i], ny[i])
 
-        # ---- 3. step_environment_effects (reference :1691-1703)
-        i32 = jnp.int32
-        s0 = (grid >> 3) & 3
-        s1 = (grid >> 5) & 3
-        s2 = (grid >> 7) & 3
-        g_no = (
-            (s0 == 1).astype(i32) + (s1 == 1).astype(i32)
-            + (s2 == 1).astype(i32)
-        )
-        g_nt = (
-            (s0 == 2).astype(i32) + (s1 == 2).astype(i32)
-            + (s2 == 2).astype(i32)
-        )
-        is_soup = (grid & 7) == OBJ_SOUP
-        tickp1 = (grid >> 9) & 255
-        if old_dynamics:
-            auto = is_soup & (tickp1 == 0) & ((g_no + g_nt) == 3)
-            tickp1 = jnp.where(auto, 1, tickp1)
-        cook_t = _table_select(time_t, g_no, g_nt)
-        cooking = is_soup & (tickp1 > 0) & (tickp1 - 1 < cook_t)
-        new_tickp1 = tickp1 + cooking.astype(i32)
-        grid = (grid & ~_TICK_MASK) | (new_tickp1 << 9)
+        # ---- 3. step_environment_effects (reference :1691-1703), pot rows only
+        for k in meta.effect_ks:
+            w = rows[k]
+            s0 = (w >> 3) & 3
+            s1 = (w >> 5) & 3
+            s2 = (w >> 7) & 3
+            g_no = (
+                (s0 == 1).astype(i32) + (s1 == 1).astype(i32)
+                + (s2 == 1).astype(i32)
+            )
+            g_nt = (
+                (s0 == 2).astype(i32) + (s1 == 2).astype(i32)
+                + (s2 == 2).astype(i32)
+            )
+            is_soup = (w & 7) == OBJ_SOUP
+            tickp1 = (w >> 9) & 255
+            if old_dynamics:
+                auto = is_soup & (tickp1 == 0) & ((g_no + g_nt) == 3)
+                tickp1 = jnp.where(auto, 1, tickp1)
+            cook_t = _table_select(time_t, g_no, g_nt)
+            cooking = is_soup & (tickp1 > 0) & (tickp1 - 1 < cook_t)
+            rows[k] = (w & ~_TICK_MASK) | ((tickp1 + cooking.astype(i32)) << 9)
 
-        return fx, fy, new_orient, held, hsoup, htick, grid, sparse
+        return rows, px, py, orient, held, hslots, htick, sparse
 
     return step
 
 
-def _pack_grid(obj, sing, stick, seq, terr, hw_offset):
-    """(HW, B) obj/stick/seq + (3, HW, B) sing + (HW, 1) terrain ->
-    packed (HW, B) words."""
-    return (
-        obj
-        | (sing[0] << 3)
-        | (sing[1] << 5)
-        | (sing[2] << 7)
-        | ((stick + 1) << 9)
-        | (jnp.minimum(seq + hw_offset, 2047) << 17)
-        | (terr << 28)
-    )
-
-
-def _unpack_grid(grid, hw_offset):
-    """packed words -> (obj, sing (3, HW, B), stick, seq)."""
-    obj = grid & 7
-    sing = jnp.stack([(grid >> 3) & 3, (grid >> 5) & 3, (grid >> 7) & 3])
-    stick = ((grid >> 9) & 255) - 1
-    seq = ((grid >> 17) & 2047) - hw_offset
-    return obj, sing, stick, seq
-
-
-def _reset_operands(spec):
-    """Layout start state as 10 column-vector numpy arrays (kernel operands).
-
-    Shapes broadcast directly against the (lead..., Bt) carried state, so the
-    done-predicated reset is a single jnp.where per field.
-    """
-    start = spec.layout.start_state
-    HW = spec.height * spec.width
-    return (
-        np.asarray(start.pos[:, 0], np.int32)[:, None],  # px0 (P, 1)
-        np.asarray(start.pos[:, 1], np.int32)[:, None],
-        np.asarray(start.orient, np.int32)[:, None],
-        np.asarray(start.held, np.int32)[:, None],
-        np.asarray(start.held_soup, np.int32)[:, :, None],  # (P, 3, 1)
-        np.asarray(start.held_soup_tick, np.int32)[:, None],
-        np.asarray(start.obj, np.int32).reshape(HW)[:, None],  # (HW, 1)
-        np.asarray(start.soup_ing, np.int32).reshape(HW, _SLOTS).T[:, :, None].copy(),
-        np.asarray(start.soup_tick, np.int32).reshape(HW)[:, None],
-        np.asarray(start.obj_seq, np.int32).reshape(HW)[:, None],
-    )
-
-
-def _apply_reset(reset_vals, done, state_arrs):
-    """done-predicated reset. reset_vals: 9 (lead..., 1) arrays; done: (Bt,)."""
-    d1 = done[None]  # (1, Bt)
-    out = []
-    for r0, v in zip(reset_vals, state_arrs):
-        d = d1[None] if v.ndim == 3 else d1
-        out.append(jnp.where(d, r0, v))
-    return tuple(out)
-
-
-def _state_to_tiles(state: State):
-    """State pytree (batch-minor) -> flat kernel array tuple."""
+def _state_to_tiles(state: State, bs: int, lanes: int):
+    """State pytree (batch-minor) -> flat kernel array tuple, batch folded
+    to (..., bs, lanes)."""
     H, W, _, B = state.soup_ing.shape
+
+    def fold(a, *lead):
+        return a.reshape(*lead, bs, lanes).astype(jnp.int32)
+
+    HW = H * W
+    P = state.held.shape[0]
     return (
-        state.pos[:, 0, :].astype(jnp.int32),  # px (P, B)
-        state.pos[:, 1, :].astype(jnp.int32),  # py
-        state.orient.astype(jnp.int32),
-        state.held.astype(jnp.int32),
-        state.held_soup.astype(jnp.int32),  # (P, 3, B)
-        state.held_soup_tick.astype(jnp.int32),
-        state.obj.reshape(H * W, B).astype(jnp.int32),
-        jnp.moveaxis(state.soup_ing.reshape(H * W, _SLOTS, B), 1, 0).astype(jnp.int32),
-        state.soup_tick.reshape(H * W, B).astype(jnp.int32),
-        state.obj_seq.reshape(H * W, B).astype(jnp.int32),
-        state.t.reshape(1, B).astype(jnp.int32),
+        fold(state.pos[:, 0, :], P),
+        fold(state.pos[:, 1, :], P),
+        fold(state.orient, P),
+        fold(state.held, P),
+        fold(jnp.moveaxis(state.held_soup, 1, 0), _SLOTS, P),  # (3, P, bs, L)
+        fold(state.held_soup_tick, P),
+        fold(state.obj.reshape(HW, B), HW),
+        fold(jnp.moveaxis(state.soup_ing.reshape(HW, _SLOTS, B), 1, 0), _SLOTS, HW),
+        fold(state.soup_tick.reshape(HW, B), HW),
+        fold(state.obj_seq.reshape(HW, B), HW),
+        fold(state.t, ),
     )
 
 
 def _tiles_to_state(arrs, H, W) -> State:
     px, py, orient, held, hsoup, htick, obj, sing, stick, seq, t = arrs
-    B = px.shape[-1]
+    P, bs, lanes = px.shape
+    B = bs * lanes
+    HW = H * W
     return State(
-        pos=jnp.stack([px, py], axis=1),
-        orient=orient,
-        held=held,
-        held_soup=hsoup,
-        held_soup_tick=htick,
+        pos=jnp.stack([px.reshape(P, B), py.reshape(P, B)], axis=1),
+        orient=orient.reshape(P, B),
+        held=held.reshape(P, B),
+        held_soup=jnp.moveaxis(hsoup.reshape(_SLOTS, P, B), 0, 1),
+        held_soup_tick=htick.reshape(P, B),
         obj=obj.reshape(H, W, B),
-        soup_ing=jnp.moveaxis(sing, 0, 1).reshape(H, W, _SLOTS, B),
+        soup_ing=jnp.moveaxis(sing.reshape(_SLOTS, HW, B), 0, 1).reshape(H, W, _SLOTS, B),
         soup_tick=stick.reshape(H, W, B),
         obj_seq=seq.reshape(H, W, B),
         t=t.reshape(B),
     )
 
 
-def _state_specs(spec, block_b):
-    """BlockSpecs for the 10 state arrays, tiling only the minor batch axis."""
+def _state_specs(spec, blk_bs: int, lanes: int):
+    """BlockSpecs for the 11 state arrays; tile over the folded-batch
+    sublane axis (dim -2)."""
     H, W, P = spec.height, spec.width, spec.num_players
     HW = H * W
 
     def bs(*lead):
         ndim = len(lead)
         return pl.BlockSpec(
-            lead + (block_b,),
-            (lambda *gi: (0,) * ndim + (gi[0],)),
+            lead + (blk_bs, lanes),
+            (lambda *gi, _n=ndim: (0,) * _n + (gi[0], 0)),
             memory_space=pltpu.VMEM,
         )
 
     return [
         bs(P), bs(P), bs(P), bs(P),  # px, py, orient, held
-        bs(P, _SLOTS),  # hsoup
+        bs(_SLOTS, P),  # hsoup
         bs(P),  # htick
         bs(HW),  # obj
         bs(_SLOTS, HW),  # sing
         bs(HW),  # stick
         bs(HW),  # obj_seq
-        bs(1),  # t
+        bs(),  # t
     ]
 
 
-def _build_kernel(spec, num_steps: int, horizon: int, use_rng: bool):
-    step = _make_step(spec)
+def _build_kernel(spec, meta: _Meta, num_steps: int, horizon: int, use_rng: bool):
+    step = _make_step(spec, meta)
     P = spec.num_players
+    HW = spec.height * spec.width
+    K = len(meta.lins)
 
-    def kernel(seed_ref, actions_ref, terr_ref, *refs):
-        raw_reset = tuple(r[:] for r in refs[:10])
-        state_in = refs[10:21]
-        state_out = refs[21:32]
-        ret_ref = refs[32]
-        terr_col = terr_ref[:]  # (HW, 1)
-        HW = terr_col.shape[0]
-
+    def kernel(seed_ref, actions_ref, *refs):
+        state_in = refs[0:11]
+        state_out = refs[11:22]
+        ret_ref = refs[22]
         raw = tuple(r[:] for r in state_in)
-        # pack obj/sing/stick/seq into one word grid for the loop; I/O stays
-        # in the State layout
-        grid0 = _pack_grid(raw[6], raw[7], raw[8], raw[9], terr_col, HW)
-        carry = raw[:6] + (grid0, raw[10])
-        reset_vals = raw_reset[:6] + (
-            _pack_grid(raw_reset[6], raw_reset[7], raw_reset[8],
-                       raw_reset[9], terr_col, HW),
-        )
-        Bt = carry[0].shape[-1]
-        ret0 = jnp.zeros((1, Bt), jnp.int32)
+        (px_a, py_a, or_a, held_a, hs_a, ht_a,
+         obj_a, sing_a, stick_a, seq_a, t0) = raw
+
+        # pack the carried cells into one word register each; terrain is a
+        # Python constant per cell, so no layout operand is needed
+        rows = [
+            (
+                obj_a[l]
+                | (sing_a[0, l] << 3)
+                | (sing_a[1, l] << 5)
+                | (sing_a[2, l] << 7)
+                | ((stick_a[l] + 1) << 9)
+                | (jnp.minimum(seq_a[l] + HW, _SEQ_MAX) << 17)
+                | (meta.tt[k] << 28)
+            )
+            for k, l in enumerate(meta.lins)
+        ]
+        px = [px_a[i] for i in range(P)]
+        py = [py_a[i] for i in range(P)]
+        orient = [or_a[i] for i in range(P)]
+        held = [held_a[i] for i in range(P)]
+        hslots = [[hs_a[s, i] for s in range(_SLOTS)] for i in range(P)]
+        htick = [ht_a[i] for i in range(P)]
+
+        shape = t0.shape
+        ret0 = jnp.zeros(shape, jnp.int32)
+        # carried as i32, not bool: Mosaic cannot legalize an i1 vector as a
+        # loop-carried value in scf.for
+        ever0 = jnp.zeros(shape, jnp.int32)
         if use_rng:
             # Stateless counter-based stream (murmur3 finalizer over
-            # seed/tile/lane/player/step) -- identical compiled and
+            # seed/global-lane/player/step) -- identical compiled and
             # interpreted, no dependence on the per-core hardware PRNG.
-            lane = jax.lax.broadcasted_iota(jnp.uint32, (P, Bt), 1)
-            player = jax.lax.broadcasted_iota(jnp.uint32, (P, Bt), 0)
-            base = (
-                seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
-                + jnp.uint32(pl.program_id(0)) * jnp.uint32(Bt)
+            sub = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            lane = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+            gl = (
+                jnp.uint32(pl.program_id(0)) * jnp.uint32(shape[0] * shape[1])
+                + sub * jnp.uint32(shape[1])
                 + lane
-                + player * jnp.uint32(0x85EBCA6B)
             )
+            seed_base = seed_ref[0, 0].astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
 
-        def _hash_actions(k):
-            x = base + jnp.uint32(k) * jnp.uint32(0x27D4EB2F)
+        def _hash_actions(i, k):
+            x = (
+                seed_base + gl
+                + jnp.uint32(i) * jnp.uint32(0x85EBCA6B)
+                + jnp.uint32(k) * jnp.uint32(0x27D4EB2F)
+            )
             x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
             x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
             x = x ^ (x >> jnp.uint32(16))
             return (x >> jnp.uint32(8)).astype(jnp.int32) % 6
 
-        def body(k, loop_carry):
-            (px, py, orient, held, hsoup, htick, grid, t), ret = loop_carry
+        def body(k, carry):
+            (rows, px, py, orient, held, hslots, htick, t, ever, ret) = carry
+            rows, px, py, orient, held, hslots, htick = (
+                list(rows), list(px), list(py), list(orient), list(held),
+                [list(h) for h in hslots], list(htick),
+            )
             if use_rng:
-                actions = _hash_actions(k)
+                actions = [_hash_actions(i, k) for i in range(P)]
             else:
-                actions = actions_ref[k]  # (P, Bt)
-            px, py, orient, held, hsoup, htick, grid, sparse = step(
-                terr_col, px, py, orient, held, hsoup, htick, grid, t, actions
+                act = actions_ref[k]  # (P, bs, L)
+                actions = [act[i] for i in range(P)]
+            rows, px, py, orient, held, hslots, htick, sparse = step(
+                rows, px, py, orient, held, hslots, htick, t, actions
             )
-            ret = ret + jnp.sum(sparse, axis=0, keepdims=True)
+            for s in sparse:
+                ret = ret + s
             t = t + 1
-            done = (t >= horizon)[0]  # (Bt,)
+            done = t >= horizon
+            ever = ever | done.astype(jnp.int32)
             # NOTE: unconditional reset selects beat a lax.cond skip here
-            # (measured 150M vs 143M steps/s) -- Mosaic pays more for the
-            # per-step branch than for the predicated selects
-            carry_next = _apply_reset(
-                reset_vals,
-                done,
-                (px, py, orient, held, hsoup, htick, grid),
+            # (measured round 1) -- Mosaic pays more for the per-step branch
+            # than for the predicated selects
+            rows = [
+                jnp.where(done, meta.reset_word[k], rows[k]) for k in range(K)
+            ]
+            for i in range(P):
+                px[i] = jnp.where(done, meta.start_px[i], px[i])
+                py[i] = jnp.where(done, meta.start_py[i], py[i])
+                orient[i] = jnp.where(done, meta.start_orient[i], orient[i])
+                held[i] = jnp.where(done, meta.start_held[i], held[i])
+                hslots[i] = [
+                    jnp.where(done, meta.start_hsoup[i][s], hslots[i][s])
+                    for s in range(_SLOTS)
+                ]
+                htick[i] = jnp.where(done, meta.start_htick[i], htick[i])
+            t = jnp.where(done, 0, t)
+            return (
+                tuple(rows), tuple(px), tuple(py), tuple(orient), tuple(held),
+                tuple(tuple(h) for h in hslots), tuple(htick), t, ever, ret,
             )
-            t = jnp.where(done[None], 0, t)
-            return carry_next + (t,), ret
 
-        carry, ret = jax.lax.fori_loop(0, num_steps, body, (carry, ret0))
-        obj_o, sing_o, stick_o, seq_o = _unpack_grid(carry[6], HW)
-        out_vals = carry[:6] + (obj_o, sing_o, stick_o, seq_o, carry[7])
+        init = (
+            tuple(rows), tuple(px), tuple(py), tuple(orient), tuple(held),
+            tuple(tuple(h) for h in hslots), tuple(htick), t0, ever0, ret0,
+        )
+        (rows, px, py, orient, held, hslots, htick, t, ever, ret) = (
+            jax.lax.fori_loop(0, num_steps, body, init)
+        )
+
+        ever = ever != 0
+
+        # ---- unpack to the State layout; inert rows pass through with an
+        # ever-reset fix-up so auto-reset stays bit-exact
+        obj_rows = [None] * HW
+        s_rows = [[None] * HW for _ in range(_SLOTS)]
+        stick_rows = [None] * HW
+        seq_rows = [None] * HW
+        for k, l in enumerate(meta.lins):
+            w = rows[k]
+            obj_rows[l] = w & 7
+            s_rows[0][l] = (w >> 3) & 3
+            s_rows[1][l] = (w >> 5) & 3
+            s_rows[2][l] = (w >> 7) & 3
+            stick_rows[l] = ((w >> 9) & 255) - 1
+            seq_rows[l] = ((w >> 17) & _SEQ_MAX) - HW
+        for (l, r_obj, r_sing, r_stick, r_seq) in meta.inert:
+            obj_rows[l] = jnp.where(ever, r_obj, obj_a[l])
+            for s in range(_SLOTS):
+                s_rows[s][l] = jnp.where(ever, r_sing[s], sing_a[s, l])
+            stick_rows[l] = jnp.where(ever, r_stick, stick_a[l])
+            seq_rows[l] = jnp.where(ever, r_seq, seq_a[l])
+
+        out_vals = (
+            jnp.stack(px), jnp.stack(py), jnp.stack(orient), jnp.stack(held),
+            jnp.stack([jnp.stack([hslots[i][s] for i in range(P)])
+                       for s in range(_SLOTS)]),
+            jnp.stack(htick),
+            jnp.stack(obj_rows),
+            jnp.stack([jnp.stack(s_rows[s]) for s in range(_SLOTS)]),
+            jnp.stack(stick_rows),
+            jnp.stack(seq_rows),
+            t,
+        )
         for r, v in zip(state_out, out_vals):
             r[:] = v
         ret_ref[:] = ret
@@ -541,48 +664,37 @@ def _fused_rollout(
     block_b: int,
     interpret: bool,
 ):
-    B = state_arrs[0].shape[-1]
+    B = state_arrs[-1].shape[-2] * state_arrs[-1].shape[-1]
     if B % block_b:
         raise ValueError(f"batch {B} not divisible by block_b {block_b}")
+    lanes = state_arrs[-1].shape[-1]
+    blk_bs = block_b // lanes
     grid = (B // block_b,)
+    P = spec.num_players
     use_rng = actions is None
     if use_rng:
-        actions = jnp.zeros((1, spec.num_players, B), jnp.int32)
+        actions = jnp.zeros((1, P, B // lanes, lanes), jnp.int32)
         act_block_t = 1
     else:
         act_block_t = actions.shape[0]
-    state_specs = _state_specs(spec, block_b)
-    kernel = _build_kernel(spec, num_steps, horizon, use_rng)
-    HW = spec.height * spec.width
-    P = spec.num_players
+    meta = _Meta(spec)
+    state_specs = _state_specs(spec, blk_bs, lanes)
+    kernel = _build_kernel(spec, meta, num_steps, horizon, use_rng)
     out_shapes = [
         jax.ShapeDtypeStruct(a.shape, jnp.int32) for a in state_arrs
-    ] + [jax.ShapeDtypeStruct((1, B), jnp.int32)]
-    out_specs = state_specs + [
-        pl.BlockSpec((1, block_b), lambda i: (0, i), memory_space=pltpu.VMEM)
-    ]
-    terrain = np.asarray(spec.layout.terrain, np.int32).reshape(HW)[:, None]
-    reset_ops = _reset_operands(spec)
-
-    def bcast(a):  # whole (tiny) array replicated to every batch tile
-        return pl.BlockSpec(
-            a.shape, (lambda *gi: (0,) * a.ndim), memory_space=pltpu.VMEM
-        )
-
-    in_specs = (
-        [
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1)
-            pl.BlockSpec(
-                (act_block_t, P, block_b),
-                lambda i: (0, 0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            bcast(terrain),
-        ]
-        + [bcast(r) for r in reset_ops]
-        + state_specs
-    )
-    flops_per_step = 60 * HW * B  # rough: ~60 HW-sized VPU ops per step
+    ] + [jax.ShapeDtypeStruct(state_arrs[-1].shape, jnp.int32)]
+    out_specs = state_specs + [state_specs[-1]]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,1)
+        pl.BlockSpec(
+            (act_block_t, P, blk_bs, lanes),
+            lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ] + state_specs
+    HW = spec.height * spec.width
+    # rough VPU cost: ~5 ops per carried cell per player + ~160 dense ops
+    flops_per_step = (5 * len(meta.lins) * P + 160) * B
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -591,16 +703,20 @@ def _fused_rollout(
         out_specs=out_specs,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_step * num_steps, bytes_accessed=B * 200, transcendentals=0
+            flops=flops_per_step * num_steps,
+            bytes_accessed=B * (HW * 6 + 8 * P) * 4 * 2,
+            transcendentals=0,
         ),
     )(
         seed.reshape(1, 1).astype(jnp.int32),
         actions,
-        jnp.asarray(terrain),
-        *[jnp.asarray(r) for r in reset_ops],
         *state_arrs,
     )
-    return tuple(outs[:11]), outs[11].reshape(B)
+    return tuple(outs[:11]), outs[11]
+
+
+def _lanes_for(block_b: int) -> int:
+    return 128 if block_b % 128 == 0 else block_b
 
 
 def fused_rollout_random(
@@ -609,20 +725,22 @@ def fused_rollout_random(
     seed,
     num_steps: int,
     horizon: int = 400,
-    block_b: int = 2048,
+    block_b: int = 1024,
     interpret: bool = False,
 ):
     """Run `num_steps` env steps under a uniform-random policy, fully fused.
 
     Returns (final_state, per_env_return[int32 (B,)]). The action stream is
-    the in-kernel TPU PRNG (seeded per batch tile), not jax.random -- the
-    policy distribution is identical, the draws differ.
+    an in-kernel counter-based PRNG (seeded per global lane), not
+    jax.random -- the policy distribution is identical, the draws differ.
     """
-    arrs = _state_to_tiles(state)
+    lanes = _lanes_for(block_b)
+    B = state.t.shape[-1]
+    arrs = _state_to_tiles(state, B // lanes, lanes)
     out_arrs, ret = _fused_rollout(
         spec, arrs, jnp.asarray(seed), None, num_steps, horizon, block_b, interpret
     )
-    return _tiles_to_state(out_arrs, spec.height, spec.width), ret
+    return _tiles_to_state(out_arrs, spec.height, spec.width), ret.reshape(B)
 
 
 def fused_rollout_actions(
@@ -630,7 +748,7 @@ def fused_rollout_actions(
     state: State,
     actions,
     horizon: int = 400,
-    block_b: int = 2048,
+    block_b: int = 1024,
     interpret: bool = False,
 ):
     """Replay an explicit (T, P, B) int32 action sequence, fully fused.
@@ -638,8 +756,12 @@ def fused_rollout_actions(
     Bit-exact with scanning `core.env.env_step` over the same actions; used
     by the parity tests and any deterministic replay.
     """
-    arrs = _state_to_tiles(state)
-    actions = jnp.asarray(actions, jnp.int32)
+    lanes = _lanes_for(block_b)
+    B = state.t.shape[-1]
+    arrs = _state_to_tiles(state, B // lanes, lanes)
+    actions = jnp.asarray(actions, jnp.int32).reshape(
+        actions.shape[0], spec.num_players, B // lanes, lanes
+    )
     num_steps = actions.shape[0]
     out_arrs, ret = _fused_rollout(
         spec,
@@ -651,4 +773,4 @@ def fused_rollout_actions(
         block_b,
         interpret,
     )
-    return _tiles_to_state(out_arrs, spec.height, spec.width), ret
+    return _tiles_to_state(out_arrs, spec.height, spec.width), ret.reshape(B)
