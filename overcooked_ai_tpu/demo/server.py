@@ -21,6 +21,7 @@ Run: python -m overcooked_ai_tpu.demo.server [--port 8000]
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import uuid
@@ -29,8 +30,18 @@ from urllib.parse import parse_qs, urlparse
 
 from overcooked_ai_tpu.demo.game import DemoGame, TutorialGame, npc_from_kind
 
-MAX_GAMES = 10  # reference config.json MAX_GAMES
-TICK_FPS = 6  # reference app.py:291 fps=6
+# deploy config (reference overcooked_demo/server/config.json); env var
+# OVERCOOKED_CONFIG overrides the path (reference CONF_PATH, app.py:33)
+_CONF_PATH = os.environ.get(
+    "OVERCOOKED_CONFIG",
+    os.path.join(os.path.dirname(__file__), "config.json"),
+)
+with open(_CONF_PATH) as _f:
+    CONFIG = json.load(_f)
+
+MAX_GAMES = int(CONFIG.get("MAX_GAMES", 10))
+TICK_FPS = int(CONFIG.get("TICK_FPS", 6))  # reference app.py:291 fps=6
+LAYOUTS = list(CONFIG.get("layouts", ["cramped_room"]))
 
 _games = {}
 _games_lock = threading.Lock()
@@ -69,6 +80,7 @@ def create_game(layout="cramped_room", npc="greedy", game_time=120,
     phased tutorial instead (reference OvercookedTutorial); npc="human"
     creates an all-human game that stays pending until the second seat
     joins (readiness handshake, reference app.py:485-520)."""
+    game_time = min(int(game_time), int(CONFIG.get("MAX_GAME_LENGTH", 120)))
     with _games_lock:
         if not _free_ids:
             _reap_finished_locked()
@@ -154,6 +166,16 @@ class Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(body)
             return
+        if url.path == "/api/config":
+            # deploy config for the frontend (layout list, limits)
+            return self._json(
+                {
+                    "layouts": LAYOUTS,
+                    "max_games": MAX_GAMES,
+                    "max_game_length": CONFIG.get("MAX_GAME_LENGTH", 120),
+                    "predefined": CONFIG.get("predefined", {}),
+                }
+            )
         if url.path == "/api/debug":
             # server introspection (reference /debug route, app.py:394-430)
             with _games_lock:
@@ -239,6 +261,7 @@ PAGE = """<!doctype html><html><head><meta charset="utf-8">
 <h3>Overcooked (TPU framework demo)</h3>
 <div>score: <span id="score">0</span> | time left: <span id="time"></span>
  | <span id="phase"></span>
+ layout: <select id="layout"></select>
  <a href="/?tutorial=1" style="color:#8cf">tutorial</a>
  <a href="/" style="color:#8cf">game</a></div>
 <canvas id="c" width="480" height="400"></canvas>
@@ -250,21 +273,34 @@ const PCOL=["#508ce6","#5ac878"];
 let gid=null, seat=0;
 const TUTORIAL=new URLSearchParams(location.search).has('tutorial');
 async function start(){
-  const r=await fetch('/api/create',{method:'POST',
-    body:JSON.stringify({layout:'cramped_room',tutorial:TUTORIAL})});
-  const j=await r.json(); gid=j.game_id; seat=j.seat; poll();
+  const conf=await (await fetch('/api/config')).json();
+  const sel=document.getElementById('layout');
+  for(const l of conf.layouts){const o=document.createElement('option');
+    o.value=o.textContent=l; sel.appendChild(o);}
+  sel.onchange=()=>newGame(sel.value);
+  newGame(conf.layouts[0]);
 }
-async function poll(){
-  const r=await fetch('/api/state?game_id='+gid); const j=await r.json();
+async function newGame(layout){
+  if(gid) fetch('/api/leave',{method:'POST',
+    body:JSON.stringify({game_id:gid})});
+  const r=await fetch('/api/create',{method:'POST',
+    body:JSON.stringify({layout:layout,tutorial:TUTORIAL})});
+  const j=await r.json(); gid=j.game_id; seat=j.seat; poll(gid);
+}
+async function poll(g){
+  if(g!==gid) return;  // a newer game superseded this poll loop
+  const r=await fetch('/api/state?game_id='+g); const j=await r.json();
+  if(g!==gid) return;
   draw(j); document.getElementById('score').textContent=j.score;
   document.getElementById('time').textContent=j.time_left;
   if(j.tutorial) document.getElementById('phase').textContent=
     'tutorial phase '+j.phase+' | ';
-  if(!j.done) setTimeout(poll, 150);
+  if(!j.done) setTimeout(()=>poll(g), 150);
 }
 function draw(j){
-  const ctx=document.getElementById('c').getContext('2d');
+  const cv=document.getElementById('c'); const ctx=cv.getContext('2d');
   const t=j.terrain; const H=t.length, W=t[0].length;
+  if(cv.width!=W*TILE||cv.height!=H*TILE){cv.width=W*TILE;cv.height=H*TILE;}
   for(let y=0;y<H;y++)for(let x=0;x<W;x++){
     ctx.fillStyle=FILL[t[y][x]]||"#000";
     ctx.fillRect(x*TILE,y*TILE,TILE-1,TILE-1);

@@ -32,7 +32,22 @@ MAX_SEQ_LEN = 20  # rllib default
 
 def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
     """Recurrent PPO; bc_policy enables BC-partner episodes exactly like
-    the feed-forward learner (see training.ppo.make_ppo docstring)."""
+    the feed-forward learner (see training.ppo.make_ppo docstring).
+
+    spec may also be a sequence of same-grid-shape LayoutSpecs: the
+    variable-MDP pool mode (reference ppo_rllib_from_params_client.py:78-179
+    with use_lstm=True) -- each iteration every env lane samples a fresh
+    layout from the pool, exactly as in the feed-forward learner.
+    """
+    pool_mode = isinstance(spec, (list, tuple))
+    if pool_mode:
+        from overcooked_ai_tpu.core.layout_generator import stack_layouts
+
+        specs = list(spec)
+        spec = specs[0]
+        layout_pool = stack_layouts(specs)  # leaves (..., N)
+        n_pool = len(specs)
+        assert bc_policy is None, "BC partners not supported in pool mode"
     layout = jax.tree.map(jnp.asarray, spec.layout)
     num_players = spec.num_players
     assert num_players == 2
@@ -43,10 +58,11 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
     N = num_players * B  # sequence count
     assert T % MAX_SEQ_LEN == 0
 
-    encode = jax.vmap(lossless_encode, in_axes=(None, -1), out_axes=0)
+    layout_axis = -1 if pool_mode else None
+    encode = jax.vmap(lossless_encode, in_axes=(layout_axis, -1), out_axes=0)
 
-    def obs_of(state):
-        enc = encode(layout, state)  # (B, P, 26, H, W)
+    def obs_of(lay, state):
+        enc = encode(lay, state)  # (B, P, 26, H, W)
         enc = jnp.transpose(enc, (1, 0, 3, 4, 2))
         return enc.reshape(N, height, width, 26)
 
@@ -69,13 +85,23 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
         )
 
     batched_transition = jax.vmap(
-        env_transition, in_axes=(None, -1, -1), out_axes=-1
+        env_transition, in_axes=(layout_axis, -1, -1), out_axes=-1
     )
 
     use_bc = bc_policy is not None and any(v for _, v in config.bc_schedule)
 
     def rollout(params, key, shaping_factor, bc_factor):
-        state0 = batch_reset(layout, B)
+        key, k_pool = jax.random.split(key)
+        if pool_mode:
+            # fresh layout per lane per episode (reference num_mdp=inf)
+            pool_idx = jax.random.randint(k_pool, (B,), 0, n_pool)
+            lay = jax.tree.map(
+                lambda leaf: jnp.asarray(leaf)[..., pool_idx], layout_pool
+            )
+            state0 = lay.start_state  # already (..., B) after the gather
+        else:
+            lay = layout
+            state0 = batch_reset(layout, B)
         carry0 = net.initial_carry(N)
         key, k_bc, k_seat = jax.random.split(key, 3)
         if use_bc:
@@ -86,7 +112,7 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
 
         def body(carry, key_t):
             state, lstm_carry = carry
-            obs = obs_of(state)
+            obs = obs_of(lay, state)
             logits_seq, value_seq, new_carry = net.apply(
                 params, obs[:, None], lstm_carry
             )
@@ -97,9 +123,9 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
             logp = jax.nn.log_softmax(logits)[jnp.arange(N), action]
             actions_pb = action.reshape(num_players, B)
             if use_bc:
-                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                bc_actions = bc_policy(key_b, lay, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
-            next_state, info = batched_transition(layout, state, actions_pb)
+            next_state, info = batched_transition(lay, state, actions_pb)
             sparse_sum = jnp.sum(info.sparse_reward, axis=0)
             reward = (
                 sparse_sum[None, :].astype(jnp.float32)

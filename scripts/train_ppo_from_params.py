@@ -33,6 +33,7 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use-phi", action="store_true")
+    ap.add_argument("--use-lstm", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--save-freq", type=int, default=100)
     ap.add_argument("--local-testing", action="store_true")
@@ -101,7 +102,13 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     log = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
 
-    init_fn, train_it = make_ppo(specs, config, potential_fn)
+    if args.use_lstm:
+        assert not args.use_phi, "lstm+phi combination not wired yet"
+        from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+        init_fn, train_it = make_ppo_lstm(specs, config)
+    else:
+        init_fn, train_it = make_ppo(specs, config, potential_fn)
     ts = init_fn(jax.random.PRNGKey(args.seed))
     start_iter = 0
     if args.resume:

@@ -221,3 +221,12 @@ def test_debug_route_and_data_writeout(demo, tmp_path):
     data = pickle.load(open(pkls[0], "rb"))
     assert data["trajectory"][0]["layout_name"] == "cramped_room"
     _post("/api/leave", {"game_id": gid})
+
+
+def test_config_route(demo):
+    """Deploy config is file-driven and served to the frontend
+    (reference config.json + app.py:33)."""
+    conf = _get("/api/config")
+    assert "cramped_room" in conf["layouts"]
+    assert conf["max_games"] == demo_server.MAX_GAMES
+    assert conf["max_game_length"] >= 1

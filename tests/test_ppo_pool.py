@@ -105,3 +105,21 @@ def test_pool_threshold_phi():
                      potential_fn=phi)
     last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 5, last5
+
+
+def test_pool_lstm_iteration():
+    """LSTM-PPO accepts a layout pool (reference from-params + use_lstm):
+    one iteration runs and produces finite losses."""
+    from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+    specs = _pool(3, seed=2)
+    cfg = PPOConfig(
+        num_envs=4, horizon=40, sgd_minibatch_size=80, num_sgd_iter=1,
+        lr=1e-4,
+    )
+    init_fn, train_it = make_ppo_lstm(specs, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+    ts, m = train_it(ts)
+    assert np.isfinite(float(m.kl))
+    assert np.isfinite(float(m.episode_shaped_reward))
+    assert float(ts.env_steps) == 4 * 40
