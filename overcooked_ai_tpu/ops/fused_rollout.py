@@ -148,15 +148,22 @@ class _Meta:
                 if l < HW and empty[l]:
                     m |= 1 << b
             self.empty_masks.append(m)
-        # player start constants
-        self.start_px = [int(v) for v in np.asarray(start.pos)[:, 0]]
-        self.start_py = [int(v) for v in np.asarray(start.pos)[:, 1]]
-        self.start_orient = [int(v) for v in np.asarray(start.orient)]
-        self.start_held = [int(v) for v in np.asarray(start.held)]
-        self.start_hsoup = [
-            tuple(int(v) for v in row) for row in np.asarray(start.held_soup)
+        # player start constants, packed like the loop-carried player words
+        pos = np.asarray(start.pos)
+        orient = np.asarray(start.orient)
+        held = np.asarray(start.held)
+        hsoup = np.asarray(start.held_soup)
+        htick = np.asarray(start.held_soup_tick)
+        self.start_pword = [
+            int(pos[i, 0] | (pos[i, 1] << 5) | (orient[i] << 10)
+                | (held[i] << 12))
+            for i in range(pos.shape[0])
         ]
-        self.start_htick = [int(v) for v in np.asarray(start.held_soup_tick)]
+        self.start_hword = [
+            int(hsoup[i, 0] | (hsoup[i, 1] << 2) | (hsoup[i, 2] << 4)
+                | ((htick[i] + 1) << 6))
+            for i in range(pos.shape[0])
+        ]
 
 
 def _table_select(table_np: np.ndarray, n_o, n_t):
@@ -524,12 +531,40 @@ def _build_kernel(spec, meta: _Meta, num_steps: int, horizon: int, use_rng: bool
             )
             for k, l in enumerate(meta.lins)
         ]
-        px = [px_a[i] for i in range(P)]
-        py = [py_a[i] for i in range(P)]
-        orient = [or_a[i] for i in range(P)]
-        held = [held_a[i] for i in range(P)]
-        hslots = [[hs_a[s, i] for s in range(_SLOTS)] for i in range(P)]
-        htick = [ht_a[i] for i in range(P)]
+        # player state packed 2 words per player (pos/orient/held + soup
+        # slots/tick): fewer loop-carried vectors = less spill traffic
+        pword = [
+            px_a[i] | (py_a[i] << 5) | (or_a[i] << 10) | (held_a[i] << 12)
+            for i in range(P)
+        ]
+        hword = [
+            hs_a[0, i] | (hs_a[1, i] << 2) | (hs_a[2, i] << 4)
+            | ((ht_a[i] + 1) << 6)
+            for i in range(P)
+        ]
+
+        def unpack_players(pword, hword):
+            px = [w & 31 for w in pword]
+            py = [(w >> 5) & 31 for w in pword]
+            orient = [(w >> 10) & 3 for w in pword]
+            held = [(w >> 12) & 7 for w in pword]
+            hslots = [
+                [hw & 3, (hw >> 2) & 3, (hw >> 4) & 3] for hw in hword
+            ]
+            htick = [((hw >> 6) & 255) - 1 for hw in hword]
+            return px, py, orient, held, hslots, htick
+
+        def pack_players(px, py, orient, held, hslots, htick):
+            pword = [
+                px[i] | (py[i] << 5) | (orient[i] << 10) | (held[i] << 12)
+                for i in range(P)
+            ]
+            hword = [
+                hslots[i][0] | (hslots[i][1] << 2) | (hslots[i][2] << 4)
+                | ((htick[i] + 1) << 6)
+                for i in range(P)
+            ]
+            return pword, hword
 
         shape = t0.shape
         ret0 = jnp.zeros(shape, jnp.int32)
@@ -558,13 +593,17 @@ def _build_kernel(spec, meta: _Meta, num_steps: int, horizon: int, use_rng: bool
             x = (x ^ (x >> jnp.uint32(16))) * jnp.uint32(0x85EBCA6B)
             x = (x ^ (x >> jnp.uint32(13))) * jnp.uint32(0xC2B2AE35)
             x = x ^ (x >> jnp.uint32(16))
-            return (x >> jnp.uint32(8)).astype(jnp.int32) % 6
+            # range-map without integer division: floor(x24 * 6 / 2^24)
+            # (bias 6/2^24 ~ 4e-7 vs exact uniform -- negligible for a
+            # random rollout policy, and VPU int division is slow)
+            return (((x >> jnp.uint32(8)) * jnp.uint32(6))
+                    >> jnp.uint32(24)).astype(jnp.int32)
 
         def body(k, carry):
-            (rows, px, py, orient, held, hslots, htick, t, ever, ret) = carry
-            rows, px, py, orient, held, hslots, htick = (
-                list(rows), list(px), list(py), list(orient), list(held),
-                [list(h) for h in hslots], list(htick),
+            (rows, pword, hword, t, ever, ret) = carry
+            rows = list(rows)
+            px, py, orient, held, hslots, htick = unpack_players(
+                list(pword), list(hword)
             )
             if use_rng:
                 actions = [_hash_actions(i, k) for i in range(P)]
@@ -585,29 +624,25 @@ def _build_kernel(spec, meta: _Meta, num_steps: int, horizon: int, use_rng: bool
             rows = [
                 jnp.where(done, meta.reset_word[k], rows[k]) for k in range(K)
             ]
-            for i in range(P):
-                px[i] = jnp.where(done, meta.start_px[i], px[i])
-                py[i] = jnp.where(done, meta.start_py[i], py[i])
-                orient[i] = jnp.where(done, meta.start_orient[i], orient[i])
-                held[i] = jnp.where(done, meta.start_held[i], held[i])
-                hslots[i] = [
-                    jnp.where(done, meta.start_hsoup[i][s], hslots[i][s])
-                    for s in range(_SLOTS)
-                ]
-                htick[i] = jnp.where(done, meta.start_htick[i], htick[i])
+            pword, hword = pack_players(px, py, orient, held, hslots, htick)
+            pword = [
+                jnp.where(done, meta.start_pword[i], pword[i])
+                for i in range(P)
+            ]
+            hword = [
+                jnp.where(done, meta.start_hword[i], hword[i])
+                for i in range(P)
+            ]
             t = jnp.where(done, 0, t)
             return (
-                tuple(rows), tuple(px), tuple(py), tuple(orient), tuple(held),
-                tuple(tuple(h) for h in hslots), tuple(htick), t, ever, ret,
+                tuple(rows), tuple(pword), tuple(hword), t, ever, ret,
             )
 
-        init = (
-            tuple(rows), tuple(px), tuple(py), tuple(orient), tuple(held),
-            tuple(tuple(h) for h in hslots), tuple(htick), t0, ever0, ret0,
+        init = (tuple(rows), tuple(pword), tuple(hword), t0, ever0, ret0)
+        (rows, pword, hword, t, ever, ret) = jax.lax.fori_loop(
+            0, num_steps, body, init
         )
-        (rows, px, py, orient, held, hslots, htick, t, ever, ret) = (
-            jax.lax.fori_loop(0, num_steps, body, init)
-        )
+        px, py, orient, held, hslots, htick = unpack_players(pword, hword)
 
         ever = ever != 0
 
@@ -701,6 +736,9 @@ def _fused_rollout(
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=out_specs,
+        # state inputs are donated to the matching outputs: halves the VMEM
+        # footprint and skips the copy back to fresh HBM buffers
+        input_output_aliases={2 + i: i for i in range(11)},
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_step * num_steps,
