@@ -757,6 +757,16 @@ def _lanes_for(block_b: int) -> int:
     return 128 if block_b % 128 == 0 else block_b
 
 
+def _check_batch(B: int, block_b: int, lanes: int) -> None:
+    """Fail early with a clear message instead of an opaque reshape error."""
+    if B % lanes or B % block_b:
+        raise ValueError(
+            f"fused rollout needs the env batch ({B}) divisible by both the "
+            f"lane fold ({lanes}) and block_b ({block_b}); pick B a multiple "
+            f"of {max(lanes, block_b)} or pass a smaller block_b"
+        )
+
+
 def fused_rollout_random(
     spec,
     state: State,
@@ -774,6 +784,7 @@ def fused_rollout_random(
     """
     lanes = _lanes_for(block_b)
     B = state.t.shape[-1]
+    _check_batch(B, block_b, lanes)
     arrs = _state_to_tiles(state, B // lanes, lanes)
     out_arrs, ret = _fused_rollout(
         spec, arrs, jnp.asarray(seed), None, num_steps, horizon, block_b, interpret
@@ -796,6 +807,7 @@ def fused_rollout_actions(
     """
     lanes = _lanes_for(block_b)
     B = state.t.shape[-1]
+    _check_batch(B, block_b, lanes)
     arrs = _state_to_tiles(state, B // lanes, lanes)
     actions = jnp.asarray(actions, jnp.int32).reshape(
         actions.shape[0], spec.num_players, B // lanes, lanes

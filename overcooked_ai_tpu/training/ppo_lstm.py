@@ -91,9 +91,11 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
     use_bc = bc_policy is not None and any(v for _, v in config.bc_schedule)
 
     def rollout(params, key, shaping_factor, bc_factor):
-        key, k_pool = jax.random.split(key)
         if pool_mode:
-            # fresh layout per lane per episode (reference num_mdp=inf)
+            # fresh layout per lane per episode (reference num_mdp=inf);
+            # split only in pool mode so non-pool runs keep the round-1
+            # RNG stream for reproducible regression comparisons
+            key, k_pool = jax.random.split(key)
             pool_idx = jax.random.randint(k_pool, (B,), 0, n_pool)
             lay = jax.tree.map(
                 lambda leaf: jnp.asarray(leaf)[..., pool_idx], layout_pool

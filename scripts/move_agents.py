@@ -13,9 +13,6 @@ import argparse
 import json
 import os
 import shutil
-import sys
-
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def validate(src: str, kind: str) -> None:
@@ -30,7 +27,8 @@ def validate(src: str, kind: str) -> None:
         cfg = os.path.join(src, "config.json")
         if not os.path.exists(cfg):
             raise SystemExit(f"{src}: missing config.json")
-        json.load(open(cfg))
+        with open(cfg) as f:
+            json.load(f)
     elif kind == "bc":
         if not os.path.exists(os.path.join(src, "model.msgpack")):
             raise SystemExit(f"{src}: missing model.msgpack (not a BC dir)")
