@@ -67,6 +67,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from overcooked_ai_tpu.core.constants import (
     ACTION_INTERACT,
+    EVENT_TYPES,
     MAX_NUM_INGREDIENTS,
     OBJ_DISH,
     OBJ_NONE,
@@ -183,13 +184,18 @@ def _table_select(table_np: np.ndarray, n_o, n_t):
     return out
 
 
-def _make_step(spec, meta: _Meta):
+def _make_step(spec, meta: _Meta, emit_train: bool = False):
     """Build the batch-dense single-step transition for one layout.
 
     All state is Python lists of (Bs, L) int32 tiles:
       rows: K packed cell words        px/py/orient/held/htick: P tiles
       hslots: P lists of 3 slot tiles  actions: P tiles   t: one tile
     Returns the updated lists plus per-player sparse reward tiles.
+
+    emit_train additionally computes, per player, the shaped reward and
+    the 25-event bitmask (EVENT_TYPES bit order) exactly as core/step.py
+    (reference resolve_interacts event logging + usefulness classifiers,
+    overcooked_mdp.py:1432-1579, 2121-2308) — the training hot path.
     """
     lay = spec.layout
     W = spec.width
@@ -200,6 +206,17 @@ def _make_step(spec, meta: _Meta):
     time_t = np.asarray(lay.time_table)
     deliv_t = np.asarray(lay.delivery_value)
     i32 = jnp.int32
+    if emit_train:
+        opt_t = np.asarray(lay.opt_value)
+        num_pots = int(lay.num_pots)
+        rew_pot = int(lay.placement_in_pot_rew)
+        rew_dish = int(lay.dish_pickup_rew)
+        rew_soup = int(lay.soup_pickup_rew)
+        pot_ks = [k for k in range(K) if meta.tt[k] == TERRAIN_POT]
+        inert_dishes = sum(
+            1 for (_l, o, _s, _st, _sq) in meta.inert if o == OBJ_DISH
+        )
+        two_player = P == 2
 
     def is_floor(lin):
         """(EMPTY_MASK >> lin) & 1 against the static floor bitmask."""
@@ -217,6 +234,40 @@ def _make_step(spec, meta: _Meta):
     def step(rows, px, py, orient, held, hslots, htick, t, actions):
         rows = list(rows)
         sparse = []
+        if emit_train:
+            shaped_out = []
+            ev_out = []
+            zero = jnp.zeros(t.shape, i32)
+            # pot snapshot BEFORE any interact (reference get_pot_states at
+            # :1439; mirrors core/step.py _PotSnapshot) -- pot rows only
+            n_full = zero
+            n_nonempty = zero
+            for k in pot_ks:
+                w = rows[k]
+                s0 = (w >> 3) & 3
+                s1 = (w >> 5) & 3
+                s2 = (w >> 7) & 3
+                p_no = (
+                    (s0 == 1).astype(i32) + (s1 == 1).astype(i32)
+                    + (s2 == 1).astype(i32)
+                )
+                p_nt = (
+                    (s0 == 2).astype(i32) + (s1 == 2).astype(i32)
+                    + (s2 == 2).astype(i32)
+                )
+                p_n = p_no + p_nt
+                tickp1 = (w >> 9) & 255
+                p_soup = (w & 7) == OBJ_SOUP
+                p_idle = tickp1 == 0
+                cook_t = _table_select(time_t, p_no, p_nt)
+                p_ready = p_soup & ~p_idle & (tickp1 - 1 >= cook_t)
+                p_cooking = p_soup & ~p_idle & ~p_ready
+                part_full = p_soup & p_idle & (p_n >= 1) & (p_n < _SLOTS)
+                full_idle = p_soup & p_idle & (p_n == _SLOTS)
+                n_full = n_full + (p_cooking | p_ready | full_idle).astype(i32)
+                n_nonempty = n_nonempty + (
+                    p_ready | p_cooking | part_full
+                ).astype(i32)
 
         # ---- 1. resolve_interacts: sequential per player (reference :1432)
         for i in range(P):
@@ -291,6 +342,96 @@ def _make_step(spec, meta: _Meta):
             )
             sparse.append(jnp.where(deliver, _table_select(deliv_t, h_no, h_nt), 0))
 
+            if emit_train:
+                # usefulness classifiers read the CURRENT (partially
+                # mutated) held/object state, like core/step.py's loop
+                # (reference :2180-2254); pot snapshot is pre-interact.
+                if two_player:
+                    other_held = held[1 - i]
+                    all_pots_full = n_full == num_pots
+                    no_full_pots = n_full == 0
+                    doc = zero + inert_dishes  # dishes on counters
+                    for k in range(K):
+                        doc = doc + ((rows[k] & 7) == OBJ_DISH).astype(i32)
+                    npd = (held[0] == OBJ_DISH).astype(i32) + (
+                        held[1] == OBJ_DISH
+                    ).astype(i32)
+                    dish_pickup_useful = (doc == 0) & (npd < n_nonempty)
+                    dish_drop_useful = no_full_pots & ~(
+                        other_held == OBJ_ONION
+                    )
+                    ing_pickup_useful = ~(
+                        all_pots_full & ~(other_held == OBJ_DISH)
+                    )
+                    ing_drop_useful = all_pots_full & ~(
+                        other_held == OBJ_DISH
+                    )
+                else:
+                    false = zero > 0
+                    dish_pickup_useful = dish_drop_useful = false
+                    ing_pickup_useful = ing_drop_useful = false
+
+                picked = lambda c: counter_pickup & (cell_obj == c)  # noqa: E731
+                dropped = lambda c: counter_drop & (held_i == c)  # noqa: E731
+                evd = {}
+                evd["onion_pickup"] = picked(OBJ_ONION) | onion_disp
+                # tomato dispenser pickups are NOT logged (reference :1496)
+                evd["tomato_pickup"] = picked(OBJ_TOMATO)
+                evd["dish_pickup"] = picked(OBJ_DISH) | dish_disp
+                evd["soup_pickup"] = picked(OBJ_SOUP) | soup_pickup
+                evd["onion_drop"] = dropped(OBJ_ONION)
+                evd["tomato_drop"] = dropped(OBJ_TOMATO)
+                evd["dish_drop"] = dropped(OBJ_DISH)
+                evd["soup_drop"] = dropped(OBJ_SOUP)
+                evd["useful_onion_pickup"] = (
+                    evd["onion_pickup"] & ing_pickup_useful
+                )
+                evd["useful_tomato_pickup"] = (
+                    evd["tomato_pickup"] & ing_pickup_useful
+                )
+                evd["useful_dish_pickup"] = (
+                    evd["dish_pickup"] & dish_pickup_useful
+                )
+                evd["useful_onion_drop"] = evd["onion_drop"] & ing_drop_useful
+                evd["useful_tomato_drop"] = (
+                    evd["tomato_drop"] & ing_drop_useful
+                )
+                evd["useful_dish_drop"] = evd["dish_drop"] & dish_drop_useful
+                evd["soup_delivery"] = deliver
+                # potting outcome labels via the opt_value table
+                # (reference :2121-2140, :2256-2308)
+                pot_onion = pot_ok & (held_i == OBJ_ONION)
+                pot_tomato = pot_ok & (held_i == OBJ_TOMATO)
+                old_no = jnp.where(cell_obj == OBJ_NONE, 0, c_no)
+                old_nt = jnp.where(cell_obj == OBJ_NONE, 0, c_nt)
+                new_no = old_no + (held_i == OBJ_ONION).astype(i32)
+                new_nt = old_nt + (held_i == OBJ_TOMATO).astype(i32)
+                old_val = _table_select(opt_t, old_no, old_nt)
+                new_val = _table_select(opt_t, new_no, new_nt)
+                optimal = old_val == new_val
+                viable = new_val > 0
+                catastrophic = (old_val > 0) & (new_val == 0)
+                useless = old_val == 0
+                evd["potting_onion"] = pot_onion
+                evd["potting_tomato"] = pot_tomato
+                evd["optimal_onion_potting"] = pot_onion & optimal
+                evd["optimal_tomato_potting"] = pot_tomato & optimal
+                evd["viable_onion_potting"] = pot_onion & viable
+                evd["viable_tomato_potting"] = pot_tomato & viable
+                evd["catastrophic_onion_potting"] = pot_onion & catastrophic
+                evd["catastrophic_tomato_potting"] = pot_tomato & catastrophic
+                evd["useless_onion_potting"] = pot_onion & useless
+                evd["useless_tomato_potting"] = pot_tomato & useless
+                m = zero
+                for bit, name in enumerate(EVENT_TYPES):
+                    m = m | jnp.where(evd[name], i32(1 << bit), 0)
+                ev_out.append(m)
+                shaped_out.append(
+                    jnp.where(dish_disp & dish_pickup_useful, rew_dish, 0)
+                    + jnp.where(soup_pickup, rew_soup, 0)
+                    + jnp.where(pot_ok, rew_pot, 0)
+                )
+
             # --- held mutations ---
             held[i] = jnp.where(
                 counter_drop | deliver | pot_ok,
@@ -319,7 +460,8 @@ def _make_step(spec, meta: _Meta):
                 jnp.where(gained, c, jnp.where(lost, 0, h))
                 for c, h in zip((s0, s1, s2), (h0, h1, h2))
             ]
-            htick[i] = jnp.where(gained, cell_tick, jnp.where(lost, -1, htick[i]))
+            htick_pre = htick[i]  # cell write below needs the PRE-drop tick
+            htick[i] = jnp.where(gained, cell_tick, jnp.where(lost, -1, htick_pre))
 
             # --- packed cell mutation (one masked write per carried cell) ---
             obj_f = jnp.where(
@@ -351,7 +493,7 @@ def _make_step(spec, meta: _Meta):
             )
             tickp1_f = jnp.where(
                 counter_drop & (held_i == OBJ_SOUP),
-                htick[i] + 1,
+                htick_pre + 1,
                 jnp.where(
                     counter_pickup | soup_pickup,
                     0,
@@ -376,9 +518,6 @@ def _make_step(spec, meta: _Meta):
             )
             for k in range(K):
                 rows[k] = jnp.where(eqs[k] & changed, new_w, rows[k])
-            # NOTE: htick[i] above reads the PRE-interact value when lost is
-            # true via the same expression order as the scan path; gained
-            # and lost are mutually exclusive with pot/held updates.
 
         # ---- 2. resolve_movement (reference :1644-1709)
         nx, ny = [], []
@@ -428,6 +567,11 @@ def _make_step(spec, meta: _Meta):
             cooking = is_soup & (tickp1 > 0) & (tickp1 - 1 < cook_t)
             rows[k] = (w & ~_TICK_MASK) | ((tickp1 + cooking.astype(i32)) << 9)
 
+        if emit_train:
+            return (
+                rows, px, py, orient, held, hslots, htick, sparse,
+                shaped_out, ev_out,
+            )
         return rows, px, py, orient, held, hslots, htick, sparse
 
     return step

@@ -16,6 +16,13 @@ os.environ["JAX_PLATFORMS"] = _platform
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", _platform)
+# Persistent compile cache: the interpret-mode pallas parity programs take
+# ~30-90 s each to compile on CPU; cache them across test runs.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_CACHE_DIR", os.path.expanduser("~/.jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
