@@ -80,7 +80,8 @@ def _host_cook_time(time_t, n_o, n_t):
     return int(np.asarray(time_t)[n_o, n_t])
 
 
-def _build_train_kernel(spec, meta: _Meta, horizon: int, obs_dtype):
+def _build_train_kernel(spec, meta: _Meta, horizon: int, obs_dtype,
+                        reset_horizon: int):
     step = _make_step(spec, meta, emit_train=True)
     lay = spec.layout
     H, W, P = spec.height, spec.width, spec.num_players
@@ -126,9 +127,13 @@ def _build_train_kernel(spec, meta: _Meta, horizon: int, obs_dtype):
             rows, px, py, orient, held, hslots, htick, t0, actions
         )
 
-        # horizon termination + auto-reset (core/env.env_step semantics)
+        # horizon termination + auto-reset (core/env.env_step semantics).
+        # reset_horizon > horizon disables the reset within a fixed-length
+        # rollout (PPO collects exactly `horizon` steps from a fresh reset,
+        # and needs the true pre-reset terminal state for phi); urgency
+        # below always uses `horizon`.
         t1 = t0 + 1
-        done = t1 >= horizon
+        done = t1 >= reset_horizon
         rows = [
             jnp.where(done, meta.reset_word[k], rows[k]) for k in range(K)
         ]
@@ -352,10 +357,14 @@ def _build_train_kernel(spec, meta: _Meta, horizon: int, obs_dtype):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "horizon", "block_b", "interpret", "obs_dtype"),
+    static_argnames=(
+        "spec", "horizon", "block_b", "interpret", "obs_dtype",
+        "reset_horizon",
+    ),
 )
 def _fused_train_step(
-    spec, state_arrs, actions, horizon, block_b, interpret, obs_dtype
+    spec, state_arrs, actions, horizon, block_b, interpret, obs_dtype,
+    reset_horizon=None,
 ):
     B = state_arrs[-1].shape[-2] * state_arrs[-1].shape[-1]
     lanes = state_arrs[-1].shape[-1]
@@ -366,7 +375,10 @@ def _fused_train_step(
     HW = H * W
     meta = _Meta(spec)
     state_specs = _state_specs(spec, blk_bs, lanes)
-    kernel = _build_train_kernel(spec, meta, horizon, jnp.dtype(obs_dtype))
+    kernel = _build_train_kernel(
+        spec, meta, horizon, jnp.dtype(obs_dtype),
+        horizon if reset_horizon is None else reset_horizon,
+    )
 
     def bspec(*lead):
         ndim = len(lead)
@@ -420,6 +432,7 @@ def fused_train_step_tiles(
     block_b: int = 1024,
     interpret: bool = False,
     obs_dtype=jnp.int8,
+    reset_horizon=None,
 ):
     """One fused training env step on pre-folded state tiles.
 
@@ -428,7 +441,8 @@ def fused_train_step_tiles(
     shaped (P, bs, L), events (P, bs, L) int32 bitmasks).
     """
     return _fused_train_step(
-        spec, tiles, actions, horizon, block_b, interpret, obs_dtype
+        spec, tiles, actions, horizon, block_b, interpret, obs_dtype,
+        reset_horizon,
     )
 
 

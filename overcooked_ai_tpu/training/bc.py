@@ -315,3 +315,40 @@ def bc_policy_batch(spec, feature_cost, params, cfg: BCConfig, stochastic=True):
         return act.reshape(B, P).T.astype(jnp.int32)  # (P, B)
 
     return policy
+
+
+def bc_policy_batch_pool(
+    specs, feature_costs, params, cfg: BCConfig, stochastic=True
+):
+    """Pool-mode (variable-MDP) batched BC partner: every env lane carries
+    its own layout, so featurization uses the lane's layout and that
+    layout's motion-cost table (reference
+    ppo_rllib_from_params_client.py variable-MDP training combined with a
+    bc partner policy; one shared BC net -- the hand-crafted features are
+    egocentric, so a single net generalizes across the pool).
+
+    specs: the LayoutSpec list the learner's pool was built from;
+    feature_costs: matching list of `build_motion_tables(...).feature_cost`
+    tables (same grid shape). Returns
+    policy(key, lane_layouts, state_batchminor, pool_idx) -> (P, B) int32,
+    the 4-arg signature `make_ppo`/`make_ppo_lstm` use in pool mode.
+    """
+    from overcooked_ai_tpu.core.featurize import featurize
+
+    net = BCNet(cfg)
+    fc_stack = jnp.stack([jnp.asarray(f) for f in feature_costs])  # (N, ...)
+
+    def policy(key, lay, state, pool_idx):
+        fc_lanes = fc_stack[pool_idx]  # (B, ...)
+        feats = jax.vmap(featurize, in_axes=(-1, 0, -1))(
+            lay, fc_lanes, state
+        )  # (B, P, F)
+        B, P, F = feats.shape
+        logits = net.apply(params, feats.reshape(B * P, F))
+        if stochastic:
+            act = jax.random.categorical(key, logits)
+        else:
+            act = jnp.argmax(logits, axis=-1)
+        return act.reshape(B, P).T.astype(jnp.int32)  # (P, B)
+
+    return policy

@@ -64,6 +64,16 @@ class PPOConfig:
     # per-episode probability the partner seat is the BC policy
     # (reference OvercookedMultiAgent bc_schedule, rllib.py:262-281,370-385)
     bc_schedule: tuple = ((0, 0.0), (float("inf"), 0.0))
+    # Fused rollout: run the env transition + events + shaped rewards +
+    # 26-layer lossless encoding as ONE pallas kernel per step
+    # (ops/fused_train.py) instead of the XLA scan path. None = auto
+    # (enabled on single-layout, meshless runs whose batch is a multiple
+    # of 128 lanes); True = require (raises if the batch is incompatible);
+    # False = always use the XLA path. Bit-exact with the XLA path -- the
+    # two produce identical trajectories for the same seed
+    # (tests/test_ppo_fused.py).
+    fused: Optional[bool] = None
+    fused_block_b: int = 1024  # env lanes per pallas program instance
     net: NetConfig = NetConfig()
 
     @property
@@ -168,7 +178,6 @@ def make_ppo(
         spec = specs[0]
         layout_pool = stack_layouts(specs)  # leaves (..., N)
         n_pool = len(specs)
-        assert bc_policy is None, "BC partners not supported in pool mode"
     layout = jax.tree.map(jnp.asarray, spec.layout)
     num_players = spec.num_players
     assert num_players == 2, "PPO self-play is 2-player (reference parity)"
@@ -179,8 +188,48 @@ def make_ppo(
     if config.use_phi:
         assert potential_fn is not None, "use_phi requires a potential_fn"
 
+    # ---- fused-rollout eligibility (pallas training-step kernel) ----
+    # The kernel folds the batch as (B // lanes, lanes) vregs; it needs B
+    # divisible by both the lane fold and the program tile. Pool mode is
+    # XLA-only (per-lane layout gather has no kernel equivalent yet), and
+    # a dp mesh shards the batch axis, which the single-program kernel
+    # does not partition.
+    fused_block_b = config.fused_block_b
+    if B % fused_block_b != 0:
+        fused_block_b = B
+    from overcooked_ai_tpu.ops.fused_rollout import _lanes_for
+
+    _lanes = _lanes_for(fused_block_b)
+    fused_ok = (
+        not pool_mode
+        and mesh is None
+        and B % _lanes == 0
+        and B % fused_block_b == 0
+    )
+    if config.fused is None:
+        fused_enabled = fused_ok and B % 128 == 0
+    elif config.fused:
+        if not fused_ok:
+            raise ValueError(
+                "config.fused=True but the fused rollout kernel cannot run "
+                f"this configuration (pool_mode={pool_mode}, mesh="
+                f"{mesh is not None}, B={B}, block_b={fused_block_b}, "
+                f"lanes={_lanes}); use fused=None/False or fix the batch"
+            )
+        fused_enabled = True
+    else:
+        fused_enabled = False
+    # Off the TPU (unit tests, CPU smoke runs) the kernel runs in pallas
+    # interpret mode -- same results, no Mosaic. The real chip may report
+    # an experimental platform name (e.g. "axon"), so test for cpu.
+    fused_interpret = jax.default_backend() == "cpu"
+
     layout_axis = -1 if pool_mode else None
-    encode = jax.vmap(lossless_encode, in_axes=(layout_axis, -1), out_axes=0)
+    encode = jax.vmap(
+        lambda lay, s: lossless_encode(lay, s, horizon=T),
+        in_axes=(layout_axis, -1),
+        out_axes=0,
+    )
 
     def obs_of(lay, state):
         # (B, P, 26, H, W) -> (P*B, H, W, 26) player-major
@@ -264,7 +313,12 @@ def make_ppo(
             ]
             actions_pb = action.reshape(num_players, B)
             if use_bc:
-                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                if pool_mode:
+                    # pool-aware partner (bc_policy_batch_pool): per-lane
+                    # layout + per-lane motion-cost table
+                    bc_actions = bc_policy(key_b, lay, state, pool_idx)
+                else:
+                    bc_actions = bc_policy(key_b, lay, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             if config.use_phi:
                 phi_s = phi_of(state)
@@ -297,6 +351,99 @@ def make_ppo(
         keys = jax.random.split(key, T)
         _, traj = jax.lax.scan(body, state0, keys)
         return traj
+
+    def rollout_fused(params, key, shaping_factor, bc_factor):
+        """The same rollout, but the env side of each step -- transition +
+        events + sparse/shaped rewards + post-step lossless encoding -- is
+        ONE pallas kernel launch (ops/fused_train.py) with the batch state
+        VMEM-resident, instead of the ~dozens of XLA kernels of the scan
+        path. The RNG-split structure matches `rollout` exactly, and the
+        kernel is bit-exact vs core/step.py + core/encoding.py, so both
+        paths produce identical trajectories for identical (params, key).
+        """
+        from overcooked_ai_tpu.ops import fused_train as _ft
+
+        key, k_pool = jax.random.split(key)  # k_pool unused (parity w/ XLA)
+        state0 = batch_reset(layout, B)
+        key, k_bc, k_seat = jax.random.split(key, 3)
+        if use_bc:
+            bc_mask = bc_seat_mask(k_bc, k_seat, bc_factor, num_players, B)
+        else:
+            bc_mask = jnp.zeros((num_players, B), bool)
+        train_mask = (~bc_mask).reshape(num_players * B).astype(jnp.float32)
+
+        tiles0 = _ft.state_to_tiles(spec, state0, fused_block_b)
+        # XLA encode once for the initial obs; int8 to match the kernel's
+        # obs dtype (the scan carry must be type-stable)
+        obs0 = obs_of(layout, state0).astype(jnp.int8)
+        phi0 = (
+            potential_fn(layout, state0)
+            if config.use_phi
+            else jnp.zeros((B,), jnp.float32)
+        )
+
+        def body(carry, key_t):
+            tiles, obs, phi_s = carry
+            logits, value = net.apply(params, obs)
+            key_a, key_b = jax.random.split(key_t)
+            action = jax.random.categorical(key_a, logits)  # (P*B,)
+            logp = jax.nn.log_softmax(logits)[
+                jnp.arange(action.shape[0]), action
+            ]
+            actions_pb = action.reshape(num_players, B)
+            if use_bc:
+                state = _ft.tiles_to_state(spec, tiles)
+                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
+            act_tiles = actions_pb.reshape(num_players, B // _lanes, _lanes)
+            tiles, obs_t, sparse, shaped, _ev = _ft.fused_train_step_tiles(
+                spec,
+                tiles,
+                act_tiles,
+                horizon=T,
+                block_b=fused_block_b,
+                interpret=fused_interpret,
+                # exactly T steps from a fresh reset per iteration: never
+                # auto-reset mid-rollout, so the terminal tiles are the true
+                # pre-reset state (phi needs it; matches the XLA path's
+                # env_transition semantics)
+                reset_horizon=T + 1,
+            )
+            obs_next = _ft.obs_tiles_to_nhwc(spec, obs_t)
+            sparse = sparse.reshape(num_players, B)
+            shaped = shaped.reshape(num_players, B)
+            sparse_sum = jnp.sum(sparse, axis=0)  # (B,)
+            if config.use_phi:
+                phi_sp = potential_fn(layout, _ft.tiles_to_state(spec, tiles))
+                dense = jnp.broadcast_to(
+                    (phi_sp - phi_s)[None], (num_players, B)
+                )
+            else:
+                phi_sp = phi_s
+                dense = shaped.astype(jnp.float32)
+            reward = (
+                sparse_sum[None, :].astype(jnp.float32)
+                + shaping_factor * dense
+            ).reshape(num_players * B)
+            tr = Transition(
+                obs=obs.astype(jnp.int8),
+                action=action,
+                logp=logp,
+                logits=logits,
+                value=value,
+                reward=reward,
+                mask=train_mask,
+                sparse=sparse_sum,
+                shaped=jnp.sum(shaped, axis=0),
+            )
+            return (tiles, obs_next, phi_sp), tr
+
+        keys = jax.random.split(key, T)
+        _, traj = jax.lax.scan(body, (tiles0, obs0, phi0), keys)
+        return traj
+
+    if fused_enabled:
+        rollout = rollout_fused
 
     def gae(traj):
         """GAE(lambda) with terminal at the horizon (no bootstrap)."""
@@ -477,7 +624,11 @@ def make_ppo_eval(spec, net_config=None, num_games: int = 8,
     net = PPONet(net_config or NetConfig())
     height, width = spec.height, spec.width
     B = num_games
-    encode = jax.vmap(lossless_encode, in_axes=(None, -1), out_axes=0)
+    encode = jax.vmap(
+        lambda lay, s: lossless_encode(lay, s, horizon=horizon),
+        in_axes=(None, -1),
+        out_axes=0,
+    )
 
     @jax.jit
     def evaluate(params, key):

@@ -47,7 +47,6 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
         spec = specs[0]
         layout_pool = stack_layouts(specs)  # leaves (..., N)
         n_pool = len(specs)
-        assert bc_policy is None, "BC partners not supported in pool mode"
     layout = jax.tree.map(jnp.asarray, spec.layout)
     num_players = spec.num_players
     assert num_players == 2
@@ -125,7 +124,12 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
             logp = jax.nn.log_softmax(logits)[jnp.arange(N), action]
             actions_pb = action.reshape(num_players, B)
             if use_bc:
-                bc_actions = bc_policy(key_b, lay, state)  # (P, B)
+                if pool_mode:
+                    # pool-aware partner (bc_policy_batch_pool): per-lane
+                    # layout + per-lane motion-cost table
+                    bc_actions = bc_policy(key_b, lay, state, pool_idx)
+                else:
+                    bc_actions = bc_policy(key_b, lay, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             next_state, info = batched_transition(lay, state, actions_pb)
             sparse_sum = jnp.sum(info.sparse_reward, axis=0)

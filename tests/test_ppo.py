@@ -74,13 +74,16 @@ import os
 SLOW = os.environ.get("OVERCOOKED_SLOW_TESTS") == "1"
 
 
-@pytest.mark.skipif(not SLOW, reason="set OVERCOOKED_SLOW_TESTS=1")
 def test_ppo_sp_no_phi_threshold():
     """Reference CI: PPO self-play (no phi) on cramped_room, 30 iters x
     batch 800 -> episode_reward_mean >= 5 (ppo_rllib_test.py:63,172-194).
     The asserted metric is rllib's episode_reward_mean = per-episode MIXED
     reward summed over both agents (average_total_reward,
-    ppo_rllib_client.py:408-411)."""
+    ppo_rllib_client.py:408-411).
+
+    In the DEFAULT suite (not gated behind OVERCOOKED_SLOW_TESTS): it is
+    the cheapest reference CI threshold (~3 min on CPU) and the only
+    always-on end-to-end learning guarantee."""
     spec = from_layout_name("cramped_room")
     cfg = PPOConfig(
         num_envs=2,

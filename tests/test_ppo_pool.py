@@ -123,3 +123,57 @@ def test_pool_lstm_iteration():
     assert np.isfinite(float(m.kl))
     assert np.isfinite(float(m.episode_shaped_reward))
     assert float(ts.env_steps) == 4 * 40
+
+
+def _pool_bc_policy(specs, key):
+    """Shared BC net (random-init -- plumbing test) + per-layout motion
+    tables wrapped as the pool-mode 4-arg partner policy."""
+    from overcooked_ai_tpu.core.featurize import featurize
+    from overcooked_ai_tpu.planning.tables import build_motion_tables
+    from overcooked_ai_tpu.training.bc import (
+        BCConfig,
+        BCNet,
+        bc_policy_batch_pool,
+    )
+
+    fcs = [build_motion_tables(s.layout.terrain).feature_cost for s in specs]
+    spec0 = specs[0]
+    lay0 = jax.tree.map(jnp.asarray, spec0.layout)
+    feats = featurize(lay0, jnp.asarray(fcs[0]), lay0.start_state)
+    cfg_bc = BCConfig(net_arch=(16,))
+    params = BCNet(cfg_bc).init(key, jnp.zeros((1, feats.shape[-1])))
+    return bc_policy_batch_pool(specs, fcs, params, cfg_bc)
+
+
+def test_pool_bc_partner_feedforward():
+    """Pool x BC-partner: per-lane layouts with a BC seat; BC samples are
+    masked out of the loss (bc_sample_fraction = 0.5 at bc_factor 1)."""
+    specs = _pool(3, seed=3)
+    bc_policy = _pool_bc_policy(specs, jax.random.PRNGKey(1))
+    cfg = PPOConfig(
+        num_envs=8, horizon=20, sgd_minibatch_size=80, num_sgd_iter=1,
+        lr=1e-4, bc_schedule=((0, 1.0), (float("inf"), 1.0)),
+    )
+    init_fn, train_it = make_ppo(specs, cfg, bc_policy=bc_policy)
+    ts = init_fn(jax.random.PRNGKey(0))
+    ts, m = train_it(ts)
+    assert np.isfinite(float(m.kl))
+    assert abs(float(m.bc_sample_fraction) - 0.5) < 1e-6
+
+
+def test_pool_bc_partner_lstm():
+    """The same combination on the recurrent learner (reference
+    from-params + use_lstm=True + bc partner)."""
+    from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+    specs = _pool(3, seed=4)
+    bc_policy = _pool_bc_policy(specs, jax.random.PRNGKey(2))
+    cfg = PPOConfig(
+        num_envs=4, horizon=40, sgd_minibatch_size=80, num_sgd_iter=1,
+        lr=1e-4, bc_schedule=((0, 1.0), (float("inf"), 1.0)),
+    )
+    init_fn, train_it = make_ppo_lstm(specs, cfg, bc_policy=bc_policy)
+    ts = init_fn(jax.random.PRNGKey(0))
+    ts, m = train_it(ts)
+    assert np.isfinite(float(m.kl))
+    assert abs(float(m.bc_sample_fraction) - 0.5) < 1e-6
