@@ -95,6 +95,7 @@ class DemoGame:
             _, reward, done, info = self.env.step(joint)
             self.last_info = info
             self.score += reward
+            elapsed = time.time() - (self.start_time or 0)
             self.trajectory.append(
                 {
                     "state": json.dumps(state_dict),
@@ -103,7 +104,9 @@ class DemoGame:
                     "score": int(self.score),
                     "cur_gameloop": self.tick_count,
                     "layout_name": self.layout_name,
-                    "time_elapsed": time.time() - (self.start_time or 0),
+                    "time_elapsed": elapsed,
+                    "time_left": round(self.game_time - elapsed, 3)
+                    if self.game_time else "",
                 }
             )
             self.tick_count += 1

@@ -13,7 +13,19 @@ API:
     POST /api/action {game_id, seat, action}
     GET  /api/state?game_id=..                -> state payload
     GET  /api/data?game_id=..                 -> recorded trajectory rows
-    GET  /                                    -> playable HTML page
+    POST /api/experiment/save {participant, game_id, round}
+    GET  /api/experiment/csv?participant=..   -> 2020-schema CSV download
+    GET  /            -> game page        (static/index.html)
+    GET  /tutorial    -> tutorial page    (static/tutorial.html)
+    GET  /predefined  -> experiment page  (static/predefined.html)
+    GET  /static/*    -> sprite renderer, page logic, styles
+
+The pages are the parity surface of the reference's browser frontend
+(static/js/index.js, tutorial.js, predefined.js + the Phaser sprite
+renderer): a procedural-canvas sprite renderer (graphics.js, original
+art), a 3-phase tutorial driving TutorialGame, and a scripted
+multi-layout experiment whose collected CSV feeds human_data/pipeline.py
+directly (tests/test_demo.py::test_experiment_csv_roundtrip).
 
 Run: python -m overcooked_ai_tpu.demo.server [--port 8000]
 """
@@ -48,6 +60,75 @@ _games_lock = threading.Lock()
 # fixed pool of reusable game ids (reference app.py:69-101: FREE_IDS queue
 # + FREE_MAP); an id returns to the pool on /api/leave or stale reaping
 _free_ids = list(range(MAX_GAMES - 1, -1, -1))
+
+# per-participant experiment data (reference predefined experiment flow +
+# data write-out, app.py:626-658); rows accumulate across rounds and are
+# served back as a 2020-schema CSV
+_experiments = {}
+_STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
+
+# action index -> reference JSON action (Direction tuples / "INTERACT"),
+# the joint_action format of the 2020 human-data schema
+_ACTION_JSON = {0: [0, -1], 1: [0, 1], 2: [1, 0], 3: [-1, 0],
+                4: [0, 0], 5: "INTERACT"}
+
+_CSV_COLUMNS = [
+    "state", "joint_action", "reward", "time_left", "score",
+    "time_elapsed", "cur_gameloop", "layout", "layout_name", "trial_id",
+    "player_0_id", "player_1_id", "player_0_is_human", "player_1_is_human",
+]
+
+
+def _experiment_rows(game, participant, round_idx, partner_kind):
+    """A finished game's trajectory as 2020-schema rows (the format of
+    static/human_data/dummy/dummy_2020_hh_trials.csv, consumed by
+    human_data.pipeline.csv_to_df_pickle)."""
+    trial_id = f"{participant}_{round_idx}"
+    is_human = [s in game.human_seats for s in range(game.num_players)]
+    ids = [
+        participant if is_human[s] else f"npc:{partner_kind}"
+        for s in range(game.num_players)
+    ]
+    terrain = json.dumps(game.env.spec.terrain_chars)
+    rows = []
+    for r in game.get_data():
+        joint = json.loads(r["joint_action"])
+        rows.append(
+            {
+                "state": r["state"],
+                "joint_action": json.dumps(
+                    [_ACTION_JSON[int(a)] for a in joint]
+                ),
+                "reward": r["reward"],
+                "time_left": r.get("time_left", ""),
+                "score": r["score"],
+                "time_elapsed": round(r["time_elapsed"], 3),
+                "cur_gameloop": r["cur_gameloop"],
+                "layout": terrain,
+                "layout_name": r["layout_name"],
+                "trial_id": trial_id,
+                "player_0_id": ids[0],
+                "player_1_id": ids[1] if len(ids) > 1 else "",
+                "player_0_is_human": is_human[0],
+                "player_1_is_human": is_human[1]
+                if len(is_human) > 1 else False,
+            }
+        )
+    return rows
+
+
+def experiment_csv(participant):
+    """The participant's collected rows as CSV text (2020 schema)."""
+    import csv
+    import io
+
+    rows = _experiments.get(participant, [])
+    buf = io.StringIO()
+    w = csv.DictWriter(buf, fieldnames=_CSV_COLUMNS)
+    w.writeheader()
+    for r in rows:
+        w.writerow(r)
+    return buf.getvalue()
 
 
 def _tick_loop(game_id):
@@ -99,6 +180,7 @@ def create_game(layout="cramped_room", npc="greedy", game_time=120,
                 game_time=game_time,
             )
         game.claimed_seats = {0}
+        game.partner_kind = npc if not tutorial else "TutorialAI"
         _games[game_id] = game
     if len(game.claimed_seats) == len(game.human_seats):
         _start_game(game_id, game)
@@ -156,12 +238,47 @@ class Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         return json.loads(self.rfile.read(length) or b"{}")
 
+    def _file(self, rel, ctype):
+        try:
+            with open(os.path.join(_STATIC_DIR, rel), "rb") as f:
+                body = f.read()
+        except OSError:
+            return self._json({"error": "not found"}, 404)
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    _PAGES = {
+        "/": "index.html",
+        "/tutorial": "tutorial.html",
+        "/predefined": "predefined.html",
+    }
+    _CTYPES = {
+        ".html": "text/html",
+        ".js": "text/javascript",
+        ".css": "text/css",
+    }
+
     def do_GET(self):
         url = urlparse(self.path)
-        if url.path == "/":
-            body = PAGE.encode()
+        if url.path in self._PAGES:
+            return self._file(self._PAGES[url.path], "text/html")
+        if url.path.startswith("/static/"):
+            rel = os.path.basename(url.path)  # flat dir, no traversal
+            ext = os.path.splitext(rel)[1]
+            return self._file(rel, self._CTYPES.get(ext, "text/plain"))
+        if url.path == "/api/experiment/csv":
+            q = parse_qs(url.query)
+            participant = (q.get("participant") or [""])[0]
+            body = experiment_csv(participant).encode()
             self.send_response(200)
-            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Type", "text/csv")
+            self.send_header(
+                "Content-Disposition",
+                f'attachment; filename="{participant}.csv"',
+            )
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
             self.wfile.write(body)
@@ -242,6 +359,17 @@ class Handler(BaseHTTPRequestHandler):
             except KeyError as e:
                 return self._json({"error": str(e)}, 404)
             return self._json({"ok": True})
+        if url.path == "/api/experiment/save":
+            # snapshot a finished round's rows under the participant id
+            # (reference writes per-game pickles at game end, app.py:626-658)
+            participant = str(body.get("participant", "anon"))[:64]
+            round_idx = int(body.get("round", 0))
+            rows = _experiment_rows(
+                game, participant, round_idx,
+                getattr(game, "partner_kind", "greedy"),
+            )
+            _experiments.setdefault(participant, []).extend(rows)
+            return self._json({"ok": True, "rows": len(rows)})
         if url.path == "/api/action":
             try:
                 action = int(body["action"])
@@ -252,90 +380,6 @@ class Handler(BaseHTTPRequestHandler):
                 return self._json({"error": str(e)}, 400)
             return self._json({"ok": True})
         self._json({"error": "not found"}, 404)
-
-
-PAGE = """<!doctype html><html><head><meta charset="utf-8">
-<title>Overcooked TPU demo</title>
-<style>body{background:#222;color:#eee;font-family:monospace}
-#c{image-rendering:pixelated;border:2px solid #555}</style></head><body>
-<h3>Overcooked (TPU framework demo)</h3>
-<div>score: <span id="score">0</span> | time left: <span id="time"></span>
- | <span id="phase"></span>
- layout: <select id="layout"></select>
- <a href="/?tutorial=1" style="color:#8cf">tutorial</a>
- <a href="/" style="color:#8cf">game</a></div>
-<canvas id="c" width="480" height="400"></canvas>
-<p>arrows = move, space = interact</p>
-<script>
-const TILE=48, FILL={" ":"#282830","X":"#826e5a","P":"#3c3c42","O":"#c8aa3c",
- "T":"#be3c32","D":"#d2d2d7","S":"#5aa05a"};
-const PCOL=["#508ce6","#5ac878"];
-let gid=null, seat=0;
-const TUTORIAL=new URLSearchParams(location.search).has('tutorial');
-async function start(){
-  const conf=await (await fetch('/api/config')).json();
-  const sel=document.getElementById('layout');
-  for(const l of conf.layouts){const o=document.createElement('option');
-    o.value=o.textContent=l; sel.appendChild(o);}
-  sel.onchange=()=>newGame(sel.value);
-  newGame(conf.layouts[0]);
-}
-async function newGame(layout){
-  if(gid) fetch('/api/leave',{method:'POST',
-    body:JSON.stringify({game_id:gid})});
-  const r=await fetch('/api/create',{method:'POST',
-    body:JSON.stringify({layout:layout,tutorial:TUTORIAL})});
-  const j=await r.json(); gid=j.game_id; seat=j.seat; poll(gid);
-}
-async function poll(g){
-  if(g!==gid) return;  // a newer game superseded this poll loop
-  const r=await fetch('/api/state?game_id='+g); const j=await r.json();
-  if(g!==gid) return;
-  draw(j); document.getElementById('score').textContent=j.score;
-  document.getElementById('time').textContent=j.time_left;
-  if(j.tutorial) document.getElementById('phase').textContent=
-    'tutorial phase '+j.phase+' | ';
-  if(!j.done) setTimeout(()=>poll(g), 150);
-}
-function draw(j){
-  const cv=document.getElementById('c'); const ctx=cv.getContext('2d');
-  const t=j.terrain; const H=t.length, W=t[0].length;
-  if(cv.width!=W*TILE||cv.height!=H*TILE){cv.width=W*TILE;cv.height=H*TILE;}
-  for(let y=0;y<H;y++)for(let x=0;x<W;x++){
-    ctx.fillStyle=FILL[t[y][x]]||"#000";
-    ctx.fillRect(x*TILE,y*TILE,TILE-1,TILE-1);
-    if("POTDS".includes(t[y][x])){ctx.fillStyle="#eee";
-      ctx.fillText(t[y][x],x*TILE+4,y*TILE+12);}
-  }
-  for(const o of j.state.objects){
-    const [x,y]=o.position; ctx.beginPath();
-    ctx.fillStyle=o.name=="soup"?(o.is_ready?"#5adc5a":(o.is_cooking?"#e68c28":"#a07838"))
-      :(o.name=="onion"?"#e6be46":(o.name=="tomato"?"#dc4632":"#f0f0f5"));
-    ctx.arc(x*TILE+24,y*TILE+24,10,0,7); ctx.fill();
-    if(o.name=="soup"){ctx.fillStyle="#111";
-      ctx.fillText(o.cooking_tick<0?o._ingredients.length:o.cooking_tick,
-        x*TILE+20,y*TILE+28);}
-  }
-  j.state.players.forEach((p,i)=>{
-    const [x,y]=p.position; ctx.beginPath(); ctx.fillStyle=PCOL[i%2];
-    ctx.arc(x*TILE+24,y*TILE+24,14,0,7); ctx.fill();
-    const [dx,dy]=p.orientation; ctx.strokeStyle="#111"; ctx.lineWidth=3;
-    ctx.beginPath(); ctx.moveTo(x*TILE+24,y*TILE+24);
-    ctx.lineTo(x*TILE+24+dx*14,y*TILE+24+dy*14); ctx.stroke();
-    if(p.held_object){ctx.beginPath();
-      ctx.fillStyle=p.held_object.name=="soup"?"#5adc5a":
-        (p.held_object.name=="onion"?"#e6be46":
-        (p.held_object.name=="tomato"?"#dc4632":"#f0f0f5"));
-      ctx.arc(x*TILE+24+dx*14,y*TILE+24+dy*14,7,0,7); ctx.fill();}
-  });
-}
-const KEYS={ArrowUp:0,ArrowDown:1,ArrowRight:2,ArrowLeft:3," ":5};
-document.addEventListener('keydown',e=>{
-  if(e.key in KEYS && gid){e.preventDefault();
-    fetch('/api/action',{method:'POST',
-      body:JSON.stringify({game_id:gid,seat:seat,action:KEYS[e.key]})});}});
-start();
-</script></body></html>"""
 
 
 def main(port=8000):

@@ -230,3 +230,102 @@ def test_config_route(demo):
     assert "cramped_room" in conf["layouts"]
     assert conf["max_games"] == demo_server.MAX_GAMES
     assert conf["max_game_length"] >= 1
+
+
+def test_static_pages_served(demo):
+    """The browser frontend: game, tutorial, and experiment pages + their
+    assets (sprite renderer, app logic, styles) come off /static."""
+    for path, marker in [
+        ("/", "graphics.js"),
+        ("/tutorial", "Phase 1"),
+        ("/predefined", "experiment"),
+        ("/static/graphics.js", "OC.draw" .replace("OC.draw", "drawChef")),
+        ("/static/app.js", "OCApp"),
+        ("/static/style.css", "canvas#game"),
+    ]:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{PORT}{path}"
+        ).read().decode()
+        assert marker in body, (path, marker)
+
+
+def test_experiment_csv_roundtrip(demo, tmp_path):
+    """The predefined-experiment contract end-to-end: play rounds through
+    the HTTP API, save them under a participant id, download the
+    2020-schema CSV, and run it through the human-data pipeline into BC
+    training (reference predefined.js flow + process_dataframes +
+    behavior_cloning)."""
+    participant = "ptest42"
+    game_ids = []
+    for rnd, layout in enumerate(["cramped_room", "cramped_room"]):
+        out = _post(
+            "/api/create",
+            {"layout": layout, "npc": "greedy", "game_time": 300},
+        )
+        gid = out["game_id"]
+        game_ids.append(gid)
+        # play: spam interacts + moves while the tick loop runs
+        deadline = time.time() + 60
+        state = _get(f"/api/state?game_id={gid}")
+        k = 0
+        while state["state"]["timestep"] < 12 and time.time() < deadline:
+            _post(
+                "/api/action",
+                {"game_id": gid, "seat": 0, "action": [0, 2, 5, 3, 5][k % 5]},
+            )
+            k += 1
+            time.sleep(0.1)
+            state = _get(f"/api/state?game_id={gid}")
+        assert state["state"]["timestep"] >= 12
+        saved = _post(
+            "/api/experiment/save",
+            {"participant": participant, "game_id": gid, "round": rnd},
+        )
+        assert saved["ok"] and saved["rows"] >= 12
+        _post("/api/leave", {"game_id": gid})
+
+    csv_text = urllib.request.urlopen(
+        f"http://127.0.0.1:{PORT}/api/experiment/csv"
+        f"?participant={participant}"
+    ).read().decode()
+    header = csv_text.splitlines()[0]
+    # exact 2020 schema (dummy_2020_hh_trials.csv header)
+    assert header == (
+        "state,joint_action,reward,time_left,score,time_elapsed,"
+        "cur_gameloop,layout,layout_name,trial_id,player_0_id,"
+        "player_1_id,player_0_is_human,player_1_is_human"
+    )
+    csv_path = tmp_path / "collected.csv"
+    csv_path.write_text(csv_text)
+
+    # pipeline round-trip: clean -> trajectories -> featurize -> BC fit
+    from overcooked_ai_tpu.core.layout import from_layout_name
+    from overcooked_ai_tpu.human_data.pipeline import (
+        csv_to_df_pickle,
+        featurize_trajectories,
+        trials_to_trajectories,
+    )
+    from overcooked_ai_tpu.planning.tables import build_motion_tables
+    from overcooked_ai_tpu.training.bc import BCConfig, train_bc_model
+
+    df = csv_to_df_pickle(
+        str(csv_path),
+        str(tmp_path),
+        "demo_collected",
+        button_presses_threshold=0.0,
+        perform_train_test_split=False,
+    )
+    assert len(df) >= 24
+    spec = from_layout_name("cramped_room")
+    trajs = trials_to_trajectories(df, spec, layouts=["cramped_room"])
+    assert len(trajs) == 2  # one per round (trial_id keeps them apart)
+    mt = build_motion_tables(spec.layout.terrain)
+    obs, actions = featurize_trajectories(
+        spec, mt.feature_cost,
+        [{"states": t["states"], "actions": t["actions"]} for t in trajs],
+    )
+    assert obs.shape[0] == actions.shape[0] >= 48  # both seats
+    params, history = train_bc_model(
+        obs, actions, BCConfig(epochs=2, early_stopping_patience=2), seed=0
+    )
+    assert history["loss"][-1] <= history["loss"][0] * 1.5
