@@ -1,0 +1,132 @@
+"""Train behavior-cloning "human proxy" models on scripted rollouts.
+
+The reference's canonical eval protocol pairs PPO agents with BC models
+trained on human data (human_aware_rl/ppo/evaluate.py:116-189), but the
+reference repo ships only dummy CSVs (static/human_data/README.md) -- the
+real 2019/2020 datasets are a separate download. The committed stand-in,
+here as there, is a BC model fit to the greedy human model's behavior
+(reference GreedyHumanModel, planners-based scripted agent).
+
+    python scripts/train_bc_proxy.py --layouts cramped_room ... \
+        --out runs/eval_artifact --platform cpu
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed):
+    import jax
+    import jax.numpy as jnp
+
+    from overcooked_ai_tpu.agents.agents import (
+        GreedyTables,
+        make_greedy_human_model,
+    )
+    from overcooked_ai_tpu.agents.evaluation import AgentFn, run_agent_pair
+    from overcooked_ai_tpu.core.layout import from_layout_name
+    from overcooked_ai_tpu.human_data.pipeline import featurize_trajectories
+    from overcooked_ai_tpu.planning.greedy_tables import (
+        build_first_action_table,
+    )
+    from overcooked_ai_tpu.planning.tables import build_motion_tables
+    from overcooked_ai_tpu.training.bc import (
+        BCConfig,
+        save_bc_model,
+        train_bc_model,
+    )
+
+    spec = from_layout_name(layout_name)
+    mt = build_motion_tables(spec.layout.terrain)
+    fa = build_first_action_table(spec.layout.terrain)
+    greedy = make_greedy_human_model(
+        spec, GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
+    )
+    agent = AgentFn(
+        policy=lambda key, layout, state, idx, carry: (
+            greedy(key, layout, state, idx, carry),
+            carry,
+        ),
+        init_carry=lambda batch: None,
+    )
+    traj = run_agent_pair(
+        spec, [agent, agent], num_games=num_games, horizon=horizon,
+        seed=seed, greedy_carry=True,
+    )
+    states = jax.tree.map(jnp.asarray, traj["state"])
+    trajectories = []
+    for g in range(num_games):
+        game_states = [
+            jax.tree.map(lambda x: x[t, ..., g], states)
+            for t in range(horizon)
+        ]
+        trajectories.append(
+            {
+                "states": game_states,
+                "actions": __import__("numpy").asarray(
+                    traj["actions"][:, :, g]
+                ),
+            }
+        )
+    obs, actions = featurize_trajectories(spec, mt.feature_cost, trajectories)
+    cfg = BCConfig(epochs=epochs)
+    params, history = train_bc_model(obs, actions, cfg, seed=seed)
+    model_dir = os.path.join(out_dir, f"bc_proxy_{layout_name}")
+    save_bc_model(
+        model_dir,
+        params,
+        cfg,
+        metadata={
+            "layout": layout_name,
+            "source": "greedy human model rollouts "
+            f"({num_games} games x {horizon} steps)",
+            "final_train_loss": float(history["loss"][-1]),
+            "final_val_loss": float(history["val_loss"][-1])
+            if history.get("val_loss") else None,
+        },
+    )
+    print(
+        f"{layout_name}: loss {history['loss'][0]:.3f} -> "
+        f"{history['loss'][-1]:.3f}, saved {model_dir}",
+        flush=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--layouts",
+        nargs="+",
+        default=[
+            "cramped_room",
+            "asymmetric_advantages",
+            "coordination_ring",
+            "forced_coordination",
+            "counter_circuit",
+        ],
+    )
+    ap.add_argument("--out", default="runs/eval_artifact")
+    ap.add_argument("--num-games", type=int, default=16)
+    ap.add_argument("--horizon", type=int, default=400)
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    if args.platform:
+        from overcooked_ai_tpu.utils.platform import force_platform
+
+        force_platform(args.platform)
+
+    for layout in args.layouts:
+        train_proxy(
+            layout, args.out, args.num_games, args.horizon, args.epochs,
+            args.seed,
+        )
+
+
+if __name__ == "__main__":
+    main()
