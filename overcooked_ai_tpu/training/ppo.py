@@ -191,30 +191,33 @@ def make_ppo(
     # ---- fused-rollout eligibility (pallas training-step kernel) ----
     # The kernel folds the batch as (B // lanes, lanes) vregs; it needs B
     # divisible by both the lane fold and the program tile. Pool mode is
-    # XLA-only (per-lane layout gather has no kernel equivalent yet), and
-    # a dp mesh shards the batch axis, which the single-program kernel
-    # does not partition.
+    # XLA-only (per-lane layout gather has no kernel equivalent yet). With
+    # a dp mesh the kernel runs under shard_map: each device launches its
+    # own pallas grid over its batch shard (B/n_dp envs), so the LOCAL
+    # batch must satisfy the divisibility rules.
+    n_dp = int(mesh.shape["dp"]) if mesh is not None else 1
+    B_local = B // n_dp if B % n_dp == 0 else 0
     fused_block_b = config.fused_block_b
-    if B % fused_block_b != 0:
-        fused_block_b = B
+    if B_local and B_local % fused_block_b != 0:
+        fused_block_b = B_local
     from overcooked_ai_tpu.ops.fused_rollout import _lanes_for
 
     _lanes = _lanes_for(fused_block_b)
     fused_ok = (
         not pool_mode
-        and mesh is None
-        and B % _lanes == 0
-        and B % fused_block_b == 0
+        and B_local > 0
+        and B_local % _lanes == 0
+        and B_local % fused_block_b == 0
     )
     if config.fused is None:
-        fused_enabled = fused_ok and B % 128 == 0
+        fused_enabled = fused_ok and B_local % 128 == 0
     elif config.fused:
         if not fused_ok:
             raise ValueError(
                 "config.fused=True but the fused rollout kernel cannot run "
-                f"this configuration (pool_mode={pool_mode}, mesh="
-                f"{mesh is not None}, B={B}, block_b={fused_block_b}, "
-                f"lanes={_lanes}); use fused=None/False or fix the batch"
+                f"this configuration (pool_mode={pool_mode}, n_dp={n_dp}, "
+                f"B={B}, block_b={fused_block_b}, lanes={_lanes}); use "
+                "fused=None/False or fix the batch"
             )
         fused_enabled = True
     else:
@@ -372,10 +375,52 @@ def make_ppo(
             bc_mask = jnp.zeros((num_players, B), bool)
         train_mask = (~bc_mask).reshape(num_players * B).astype(jnp.float32)
 
-        tiles0 = _ft.state_to_tiles(spec, state0, fused_block_b)
+        # note: tiles fold the GLOBAL batch as (B // lanes, lanes); under a
+        # dp mesh the fold axis (-2) is sharded and shard_map below hands
+        # each device its own (B_local // lanes, lanes) shard
+        tiles0 = _ft.state_to_tiles(spec, state0, _lanes)
         # XLA encode once for the initial obs; int8 to match the kernel's
         # obs dtype (the scan carry must be type-stable)
         obs0 = obs_of(layout, state0).astype(jnp.int8)
+
+        def _kernel_call(tiles, act):
+            return _ft.fused_train_step_tiles(
+                spec,
+                tiles,
+                act,
+                horizon=T,
+                block_b=fused_block_b,
+                interpret=fused_interpret,
+                # exactly T steps from a fresh reset per iteration: never
+                # auto-reset mid-rollout, so the terminal tiles are the
+                # true pre-reset state (phi needs it; matches the XLA
+                # path's env_transition semantics)
+                reset_horizon=T + 1,
+            )
+
+        if mesh is not None:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P_
+
+            def _sp(x):  # batch-fold axis is -2 on every tile/IO tensor
+                return P_(*([None] * (x.ndim - 2) + ["dp", None]))
+
+            act_eg = jax.ShapeDtypeStruct(
+                (num_players, B // _lanes, _lanes), jnp.int32
+            )
+            out_eg = jax.eval_shape(_kernel_call, tiles0, act_eg)
+            step_call = shard_map(
+                _kernel_call,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree.map(_sp, tiles0),
+                    _sp(act_eg),
+                ),
+                out_specs=jax.tree.map(_sp, out_eg),
+                check_vma=False,
+            )
+        else:
+            step_call = _kernel_call
         phi0 = (
             potential_fn(layout, state0)
             if config.use_phi
@@ -396,19 +441,7 @@ def make_ppo(
                 bc_actions = bc_policy(key_b, layout, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             act_tiles = actions_pb.reshape(num_players, B // _lanes, _lanes)
-            tiles, obs_t, sparse, shaped, _ev = _ft.fused_train_step_tiles(
-                spec,
-                tiles,
-                act_tiles,
-                horizon=T,
-                block_b=fused_block_b,
-                interpret=fused_interpret,
-                # exactly T steps from a fresh reset per iteration: never
-                # auto-reset mid-rollout, so the terminal tiles are the true
-                # pre-reset state (phi needs it; matches the XLA path's
-                # env_transition semantics)
-                reset_horizon=T + 1,
-            )
+            tiles, obs_t, sparse, shaped, _ev = step_call(tiles, act_tiles)
             obs_next = _ft.obs_tiles_to_nhwc(spec, obs_t)
             sparse = sparse.reshape(num_players, B)
             shaped = shaped.reshape(num_players, B)

@@ -117,3 +117,31 @@ def test_fused_auto_mode_selection():
     # pool mode has no kernel path: forcing fused must raise, not crash
     with pytest.raises(ValueError, match="fused"):
         make_ppo([spec, spec], _cfg(fused=True))
+
+
+def test_fused_mesh_equals_single_device():
+    """Fused rollout under a dp mesh (shard_map pallas per shard) produces
+    the same trajectories as the meshless fused path."""
+    from overcooked_ai_tpu.parallel.mesh import make_mesh, replicated
+
+    spec = from_layout_name("cramped_room")
+    cfg = _cfg(fused=True, num_envs=16, fused_block_b=2,
+               sgd_minibatch_size=16 * T // 2)
+
+    init_fn, train_it = make_ppo(spec, cfg)
+    ts = init_fn(jax.random.PRNGKey(5))
+    _, m_single = train_it(ts)
+
+    mesh = make_mesh(8)
+    init_fn_m, train_it_m = make_ppo(spec, cfg, mesh=mesh)
+    ts_m = init_fn_m(jax.random.PRNGKey(5))
+    ts_m = replicated(mesh, ts_m)
+    with mesh:
+        _, m_mesh = train_it_m(ts_m)
+
+    assert float(m_single.episode_sparse_reward) == float(
+        m_mesh.episode_sparse_reward
+    )
+    assert float(m_single.episode_shaped_reward) == float(
+        m_mesh.episode_shaped_reward
+    )
