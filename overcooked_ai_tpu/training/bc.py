@@ -246,6 +246,14 @@ def save_bc_model(model_dir, params, cfg: BCConfig, metadata=None):
         f.write(to_bytes(params))
     meta = dict(dataclasses.asdict(cfg))
     meta["net_arch"] = list(meta["net_arch"])
+    # load_bc_model needs the input width to rebuild the params template;
+    # derive it from the MLP input kernel so callers can't forget it
+    try:
+        meta["obs_dim"] = int(
+            np.asarray(params["params"]["Dense_0"]["kernel"]).shape[0]
+        )
+    except (KeyError, TypeError):
+        pass  # non-MLP nets: caller must supply obs_dim via metadata
     meta.update(metadata or {})
     with open(os.path.join(model_dir, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=1)
