@@ -280,10 +280,10 @@ def npc_from_kind(kind: str, layout_name: str, seat: int = 1):
     from overcooked_ai_tpu.agents.loading import build_agent
     from overcooked_ai_tpu.core.layout import from_layout_name
     from overcooked_ai_tpu.core.state import state_from_dict
-    from overcooked_ai_tpu.planning.tables import build_motion_tables
+    from overcooked_ai_tpu.planning.cache import cached_motion_tables
 
     spec = from_layout_name(layout_name)
-    tables = build_motion_tables(spec.layout.terrain)
+    tables = cached_motion_tables(spec.layout.terrain)
     agent = build_agent(kind, spec, tables)
     layout = jax.tree.map(jnp.asarray, spec.layout)
     rng = np.random.RandomState(0)
@@ -312,13 +312,13 @@ def greedy_npc(layout_name: str):
     )
     from overcooked_ai_tpu.core.layout import from_layout_name
     from overcooked_ai_tpu.core.state import state_from_dict
+    from overcooked_ai_tpu.planning.cache import cached_motion_tables
     from overcooked_ai_tpu.planning.greedy_tables import (
         build_first_action_table,
     )
-    from overcooked_ai_tpu.planning.tables import build_motion_tables
 
     spec = from_layout_name(layout_name)
-    mt = build_motion_tables(spec.layout.terrain)
+    mt = cached_motion_tables(spec.layout.terrain)
     fa = build_first_action_table(spec.layout.terrain)
     greedy = make_greedy_human_model(
         spec, GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))

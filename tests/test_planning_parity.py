@@ -74,3 +74,28 @@ def test_min_cost_to_feature_parity(layout_name, with_counters):
                 )
             checked += 1
     assert checked > 100
+
+
+def test_motion_table_disk_cache(tmp_path):
+    """Planner-table cache (reference data/planners pickles): second build
+    loads the .npz; corrupt cache falls back to recompute-and-rewrite."""
+    import numpy as np
+
+    from overcooked_ai_tpu.core.layout import from_layout_name
+    from overcooked_ai_tpu.planning.cache import cached_motion_tables
+
+    terrain = np.asarray(from_layout_name("cramped_room").layout.terrain)
+    t1 = cached_motion_tables(terrain, cache_dir=str(tmp_path))
+    files = list(tmp_path.glob("mt_*.npz"))
+    assert len(files) == 1
+    t2 = cached_motion_tables(terrain, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(t1.feature_cost, t2.feature_cost)
+    np.testing.assert_array_equal(t1.point_dist, t2.point_dist)
+    # different counter_goals -> different key, no collision
+    cached_motion_tables(terrain, counter_goals=[(2, 0)],
+                         cache_dir=str(tmp_path))
+    assert len(list(tmp_path.glob("mt_*.npz"))) == 2
+    # corrupt cache: silently recomputed and rewritten
+    files[0].write_bytes(b"garbage")
+    t3 = cached_motion_tables(terrain, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(t1.feature_cost, t3.feature_cost)
