@@ -472,6 +472,7 @@ def fused_train_step(
     block_b: int = 1024,
     interpret: bool = False,
     obs_dtype=jnp.int8,
+    reset_horizon=None,
 ):
     """Ergonomic entry on a State pytree (batch-minor) + (P, B) actions.
 
@@ -487,7 +488,8 @@ def fused_train_step(
     tiles = _state_to_tiles(state, B // lanes, lanes)
     act = jnp.asarray(actions, jnp.int32).reshape(P, B // lanes, lanes)
     tiles, obs, sparse, shaped, ev = _fused_train_step(
-        spec, tiles, act, horizon, block_b, interpret, jnp.dtype(obs_dtype)
+        spec, tiles, act, horizon, block_b, interpret, jnp.dtype(obs_dtype),
+        reset_horizon,
     )
     return (
         _tiles_to_state(tiles, spec.height, spec.width),

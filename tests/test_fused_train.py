@@ -125,3 +125,34 @@ def test_train_rollout_random_runs():
     assert int(totals["shaped"]) > 0, "random policy should pot something"
     assert int(totals["event_counts"].sum()) > 0
     assert final.t.shape == (B,)
+
+
+def test_reset_horizon_decoupled_from_urgency():
+    """reset_horizon > horizon disables the auto-reset (PPO needs the true
+    pre-reset terminal state for phi) while the urgency layer still tracks
+    `horizon` -- the two uses of the old single parameter."""
+    spec = from_layout_name("cramped_room")
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    P = spec.num_players
+    state = batch_reset(layout, B)
+    stay = jnp.full((P, B), 4, jnp.int32)
+
+    horizon = 6
+    for t in range(horizon + 2):
+        state, obs, _, _, _ = fused_train_step(
+            spec, state, stay, horizon=horizon, block_b=BLOCK_B,
+            interpret=True, reset_horizon=horizon + 100,
+        )
+        assert int(state.t[0]) == t + 1  # no reset at t == horizon
+        # urgency layer (channel 25) flips on when horizon - t < 40;
+        # horizon=6 means it is on from the first step
+        assert int(obs[0, :, :, 25].max()) == 1
+
+    # default (reset_horizon=None) keeps env_step auto-reset semantics
+    state = batch_reset(layout, B)
+    for t in range(horizon):
+        state, *_ = fused_train_step(
+            spec, state, stay, horizon=horizon, block_b=BLOCK_B,
+            interpret=True,
+        )
+    assert int(state.t[0]) == 0  # wrapped at the horizon
