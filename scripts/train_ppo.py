@@ -24,7 +24,14 @@ def main():
     ap.add_argument("--layout", default="cramped_room")
     ap.add_argument("--iters", type=int, default=420)
     ap.add_argument("--num-envs", type=int, default=30)
-    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument(
+        "--lr", type=float, default=None,
+        help="learning rate; defaults to the reference's 5e-5, EXCEPT with "
+        "--use-phi where the default is 5e-4: the reference's own "
+        "phi + lr 5e-5 combination never lifts off at production scale "
+        "(sparse reward 0.0 after 30M steps; see PHI_STUDY.md), while "
+        "5e-4 demonstrably trains",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use-phi", action="store_true")
     ap.add_argument("--use-lstm", action="store_true")
@@ -53,6 +60,9 @@ def main():
     )
     ap.add_argument("--eval-games", type=int, default=8)
     args = ap.parse_args()
+
+    if args.lr is None:
+        args.lr = 5e-4 if args.use_phi else 5e-5  # see --lr help
 
     if args.platform:
         from overcooked_ai_tpu.utils.platform import force_platform
