@@ -57,8 +57,39 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
     N = num_players * B  # sequence count
     assert T % MAX_SEQ_LEN == 0
 
+    # ---- fused-rollout eligibility (pallas training-step kernel) ----
+    # Same rules as the feed-forward learner (training/ppo.py): pool mode
+    # is XLA-only; auto mode needs a 128-lane batch. The LSTM learner has
+    # no mesh parameter, so no shard_map wrapping here.
+    fused_block_b = config.fused_block_b
+    if B % fused_block_b != 0:
+        fused_block_b = B
+    from overcooked_ai_tpu.ops.fused_rollout import _lanes_for
+
+    _lanes = _lanes_for(fused_block_b)
+    fused_ok = (
+        not pool_mode and B % _lanes == 0 and B % fused_block_b == 0
+    )
+    if config.fused is None:
+        fused_enabled = fused_ok and B % 128 == 0
+    elif config.fused:
+        if not fused_ok:
+            raise ValueError(
+                "config.fused=True but the fused rollout kernel cannot run "
+                f"this configuration (pool_mode={pool_mode}, B={B}, "
+                f"block_b={fused_block_b}, lanes={_lanes})"
+            )
+        fused_enabled = True
+    else:
+        fused_enabled = False
+    fused_interpret = jax.default_backend() == "cpu"
+
     layout_axis = -1 if pool_mode else None
-    encode = jax.vmap(lossless_encode, in_axes=(layout_axis, -1), out_axes=0)
+    encode = jax.vmap(
+        lambda lay, s: lossless_encode(lay, s, horizon=T),
+        in_axes=(layout_axis, -1),
+        out_axes=0,
+    )
 
     def obs_of(lay, state):
         enc = encode(lay, state)  # (B, P, 26, H, W)
@@ -155,6 +186,82 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
         keys = jax.random.split(key, T)
         _, traj = jax.lax.scan(body, (state0, carry0), keys)
         return traj
+
+    def rollout_fused(params, key, shaping_factor, bc_factor):
+        """Recurrent rollout with the env side of each step as one pallas
+        kernel (ops/fused_train.py) -- same RNG structure as `rollout`,
+        bit-exact kernel, so identical trajectories for the same seed
+        (tests/test_ppo_fused.py::test_lstm_fused_equals_xla)."""
+        from overcooked_ai_tpu.ops import fused_train as _ft
+
+        state0 = batch_reset(layout, B)
+        carry0 = net.initial_carry(N)
+        key, k_bc, k_seat = jax.random.split(key, 3)
+        if use_bc:
+            bc_mask = bc_seat_mask(k_bc, k_seat, bc_factor, num_players, B)
+        else:
+            bc_mask = jnp.zeros((num_players, B), bool)
+        train_mask = (~bc_mask).reshape(N).astype(jnp.float32)
+
+        tiles0 = _ft.state_to_tiles(spec, state0, _lanes)
+        enc0 = encode(layout, state0)  # (B, P, 26, H, W)
+        enc0 = jnp.transpose(enc0, (1, 0, 3, 4, 2))
+        obs0 = enc0.reshape(N, height, width, 26).astype(jnp.int8)
+
+        def body(carry, key_t):
+            tiles, obs, lstm_carry = carry
+            logits_seq, value_seq, new_carry = net.apply(
+                params, obs[:, None], lstm_carry
+            )
+            logits = logits_seq[:, 0]
+            value = value_seq[:, 0]
+            key_a, key_b = jax.random.split(key_t)
+            action = jax.random.categorical(key_a, logits)
+            logp = jax.nn.log_softmax(logits)[jnp.arange(N), action]
+            actions_pb = action.reshape(num_players, B)
+            if use_bc:
+                state = _ft.tiles_to_state(spec, tiles)
+                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
+            act_tiles = actions_pb.reshape(num_players, B // _lanes, _lanes)
+            tiles, obs_t, sparse, shaped, _ev = _ft.fused_train_step_tiles(
+                spec,
+                tiles,
+                act_tiles,
+                horizon=T,
+                block_b=fused_block_b,
+                interpret=fused_interpret,
+                reset_horizon=T + 1,  # fixed-length episodes, no auto-reset
+            )
+            obs_next = _ft.obs_tiles_to_nhwc(spec, obs_t).astype(jnp.int8)
+            sparse = sparse.reshape(num_players, B)
+            shaped = shaped.reshape(num_players, B)
+            sparse_sum = jnp.sum(sparse, axis=0)
+            reward = (
+                sparse_sum[None, :].astype(jnp.float32)
+                + shaping_factor * shaped.astype(jnp.float32)
+            ).reshape(N)
+            out = dict(
+                obs=obs,
+                action=action,
+                logp=logp,
+                logits=logits,
+                value=value,
+                reward=reward,
+                carry_h=lstm_carry[0],
+                carry_c=lstm_carry[1],
+                mask=train_mask,
+                sparse=sparse_sum,
+                shaped=jnp.sum(shaped, axis=0),
+            )
+            return (tiles, obs_next, new_carry), out
+
+        keys = jax.random.split(key, T)
+        _, traj = jax.lax.scan(body, (tiles0, obs0, carry0), keys)
+        return traj
+
+    if fused_enabled:
+        rollout = rollout_fused
 
     def gae(traj):
         def body(carry, step_data):

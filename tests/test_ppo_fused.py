@@ -145,3 +145,34 @@ def test_fused_mesh_equals_single_device():
     assert float(m_single.episode_shaped_reward) == float(
         m_mesh.episode_shaped_reward
     )
+
+
+def test_lstm_fused_equals_xla():
+    """The recurrent learner's fused rollout == its XLA rollout (same RNG
+    structure, bit-exact kernel => identical trajectories)."""
+    from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+    spec = from_layout_name("cramped_room")
+
+    def one(fused):
+        cfg = _cfg(fused=fused, horizon=40,
+                   sgd_minibatch_size=B * 40 // 2)
+        init_fn, train_it = make_ppo_lstm(spec, cfg)
+        ts = init_fn(jax.random.PRNGKey(11))
+        ts, m = train_it(ts)
+        return m
+
+    m_x = one(False)
+    m_f = one(True)
+    assert float(m_x.episode_sparse_reward) == float(m_f.episode_sparse_reward)
+    assert float(m_x.episode_shaped_reward) == float(m_f.episode_shaped_reward)
+    np.testing.assert_allclose(
+        float(m_x.episode_total_reward),
+        float(m_f.episode_total_reward),
+        rtol=1e-5,
+    )
+    for name in ("policy_loss", "vf_loss", "kl", "entropy"):
+        np.testing.assert_allclose(
+            float(getattr(m_x, name)), float(getattr(m_f, name)),
+            rtol=2e-3, atol=1e-5, err_msg=name,
+        )
