@@ -18,7 +18,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed):
+def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed,
+                epsilon=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -45,13 +46,21 @@ def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed):
     greedy = make_greedy_human_model(
         spec, GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
     )
-    agent = AgentFn(
-        policy=lambda key, layout, state, idx, carry: (
-            greedy(key, layout, state, idx, carry),
-            carry,
-        ),
-        init_carry=lambda batch: None,
-    )
+    def policy(key, layout, state, idx, carry):
+        # epsilon-noisy greedy: the clone inherits ~epsilon exploration,
+        # standing in for human imperfection (a pure deterministic clone
+        # can mirror-deadlock with itself on constrained layouts)
+        k_g, k_eps, k_rand = jax.random.split(key, 3)
+        a = greedy(k_g, layout, state, idx, carry)
+        if epsilon > 0:
+            a = jnp.where(
+                jax.random.uniform(k_eps) < epsilon,
+                jax.random.randint(k_rand, (), 0, 6),
+                a,
+            ).astype(jnp.int32)
+        return a, carry
+
+    agent = AgentFn(policy=policy, init_carry=lambda batch: None)
     traj = run_agent_pair(
         spec, [agent, agent], num_games=num_games, horizon=horizon,
         seed=seed, greedy_carry=True,
@@ -82,7 +91,7 @@ def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed):
         metadata={
             "layout": layout_name,
             "source": "greedy human model rollouts "
-            f"({num_games} games x {horizon} steps)",
+            f"({num_games} games x {horizon} steps, epsilon={epsilon})",
             "final_train_loss": float(history["loss"][-1]),
             "final_val_loss": float(history["val_loss"][-1])
             if history.get("val_loss") else None,
@@ -105,13 +114,17 @@ def main():
             "asymmetric_advantages",
             "coordination_ring",
             "forced_coordination",
-            "counter_circuit",
+            "counter_circuit_o_1order",
         ],
     )
     ap.add_argument("--out", default="runs/eval_artifact")
     ap.add_argument("--num-games", type=int, default=16)
     ap.add_argument("--horizon", type=int, default=400)
     ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument(
+        "--epsilon", type=float, default=0.1,
+        help="random-action rate in the cloned behavior (0 = pure greedy)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
@@ -124,7 +137,7 @@ def main():
     for layout in args.layouts:
         train_proxy(
             layout, args.out, args.num_games, args.horizon, args.epochs,
-            args.seed,
+            args.seed, epsilon=args.epsilon,
         )
 
 
