@@ -30,7 +30,8 @@ from overcooked_ai_tpu.training.ppo import (
 MAX_SEQ_LEN = 20  # rllib default
 
 
-def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
+def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
+                  potential_fn=None):
     """Recurrent PPO; bc_policy enables BC-partner episodes exactly like
     the feed-forward learner (see training.ppo.make_ppo docstring).
 
@@ -38,6 +39,12 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
     variable-MDP pool mode (reference ppo_rllib_from_params_client.py:78-179
     with use_lstm=True) -- each iteration every env lane samples a fresh
     layout from the pool, exactly as in the feed-forward learner.
+
+    potential_fn enables config.use_phi (dense reward = phi(s') - phi(s))
+    with the same signatures as make_ppo: (layout, state) -> (B,), or in
+    pool mode (pool_idx, lane_layouts, state) -> (B,). The reference's
+    use_lstm and use_phi flags are orthogonal (rllib.py:314-319 applies
+    to both model families).
     """
     pool_mode = isinstance(spec, (list, tuple))
     if pool_mode:
@@ -50,6 +57,8 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
     layout = jax.tree.map(jnp.asarray, spec.layout)
     num_players = spec.num_players
     assert num_players == 2
+    if config.use_phi:
+        assert potential_fn is not None, "use_phi requires a potential_fn"
     net = LSTMPPONet(config.net)
     height, width = spec.height, spec.width
     B = config.num_envs
@@ -142,6 +151,11 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
             bc_mask = jnp.zeros((num_players, B), bool)
         train_mask = (~bc_mask).reshape(N).astype(jnp.float32)
 
+        def phi_of(state):
+            if pool_mode:
+                return potential_fn(pool_idx, lay, state)
+            return potential_fn(lay, state)
+
         def body(carry, key_t):
             state, lstm_carry = carry
             obs = obs_of(lay, state)
@@ -162,11 +176,19 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
                 else:
                     bc_actions = bc_policy(key_b, lay, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
+            if config.use_phi:
+                phi_s = phi_of(state)
             next_state, info = batched_transition(lay, state, actions_pb)
             sparse_sum = jnp.sum(info.sparse_reward, axis=0)
+            if config.use_phi:
+                dense = jnp.broadcast_to(
+                    (phi_of(next_state) - phi_s)[None], (num_players, B)
+                )
+            else:
+                dense = info.shaped_reward.astype(jnp.float32)
             reward = (
                 sparse_sum[None, :].astype(jnp.float32)
-                + shaping_factor * info.shaped_reward.astype(jnp.float32)
+                + shaping_factor * dense
             ).reshape(N)
             out = dict(
                 obs=obs.astype(jnp.int8),
@@ -207,9 +229,14 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
         enc0 = encode(layout, state0)  # (B, P, 26, H, W)
         enc0 = jnp.transpose(enc0, (1, 0, 3, 4, 2))
         obs0 = enc0.reshape(N, height, width, 26).astype(jnp.int8)
+        phi0 = (
+            potential_fn(layout, state0)
+            if config.use_phi
+            else jnp.zeros((B,), jnp.float32)
+        )
 
         def body(carry, key_t):
-            tiles, obs, lstm_carry = carry
+            tiles, obs, lstm_carry, phi_s = carry
             logits_seq, value_seq, new_carry = net.apply(
                 params, obs[:, None], lstm_carry
             )
@@ -237,9 +264,17 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
             sparse = sparse.reshape(num_players, B)
             shaped = shaped.reshape(num_players, B)
             sparse_sum = jnp.sum(sparse, axis=0)
+            if config.use_phi:
+                phi_sp = potential_fn(layout, _ft.tiles_to_state(spec, tiles))
+                dense = jnp.broadcast_to(
+                    (phi_sp - phi_s)[None], (num_players, B)
+                )
+            else:
+                phi_sp = phi_s
+                dense = shaped.astype(jnp.float32)
             reward = (
                 sparse_sum[None, :].astype(jnp.float32)
-                + shaping_factor * shaped.astype(jnp.float32)
+                + shaping_factor * dense
             ).reshape(N)
             out = dict(
                 obs=obs,
@@ -254,10 +289,10 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None):
                 sparse=sparse_sum,
                 shaped=jnp.sum(shaped, axis=0),
             )
-            return (tiles, obs_next, new_carry), out
+            return (tiles, obs_next, new_carry, phi_sp), out
 
         keys = jax.random.split(key, T)
-        _, traj = jax.lax.scan(body, (tiles0, obs0, carry0), keys)
+        _, traj = jax.lax.scan(body, (tiles0, obs0, carry0, phi0), keys)
         return traj
 
     if fused_enabled:

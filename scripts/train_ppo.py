@@ -132,10 +132,11 @@ def main():
     log = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
 
     if args.use_lstm:
-        assert not args.use_phi, "lstm+phi combination not wired yet"
         from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
 
-        init_fn, train_it = make_ppo_lstm(spec, config)
+        init_fn, train_it = make_ppo_lstm(
+            spec, config, bc_policy=bc_policy, potential_fn=potential_fn
+        )
     else:
         init_fn, train_it = make_ppo(
             spec, config, potential_fn, bc_policy=bc_policy

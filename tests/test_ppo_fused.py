@@ -147,17 +147,28 @@ def test_fused_mesh_equals_single_device():
     )
 
 
-def test_lstm_fused_equals_xla():
+@pytest.mark.parametrize("use_phi", [False, True])
+def test_lstm_fused_equals_xla(use_phi):
     """The recurrent learner's fused rollout == its XLA rollout (same RNG
-    structure, bit-exact kernel => identical trajectories)."""
+    structure, bit-exact kernel => identical trajectories), with and
+    without phi shaping (reference use_lstm x use_phi are orthogonal)."""
     from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
 
     spec = from_layout_name("cramped_room")
+    potential_fn = None
+    if use_phi:
+        from overcooked_ai_tpu.core.potential import make_potential_fn
+        from overcooked_ai_tpu.planning.tables import build_motion_tables
+
+        tables = build_motion_tables(spec.layout.terrain)
+        potential_fn = make_potential_fn(spec, tables.feature_cost)
 
     def one(fused):
-        cfg = _cfg(fused=fused, horizon=40,
+        cfg = _cfg(fused=fused, horizon=40, use_phi=use_phi,
                    sgd_minibatch_size=B * 40 // 2)
-        init_fn, train_it = make_ppo_lstm(spec, cfg)
+        init_fn, train_it = make_ppo_lstm(
+            spec, cfg, potential_fn=potential_fn
+        )
         ts = init_fn(jax.random.PRNGKey(11))
         ts, m = train_it(ts)
         return m

@@ -177,3 +177,21 @@ def test_pool_bc_partner_lstm():
     ts, m = train_it(ts)
     assert np.isfinite(float(m.kl))
     assert abs(float(m.bc_sample_fraction) - 0.5) < 1e-6
+
+
+def test_pool_lstm_phi_iteration():
+    """LSTM x pool x phi: per-lane potentials with the recurrent learner
+    (reference use_lstm + use_phi + from-params are all orthogonal)."""
+    from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+    specs = _pool(3, seed=5)
+    phi = make_potential_fn_pool(specs)
+    cfg = PPOConfig(
+        num_envs=4, horizon=40, sgd_minibatch_size=80, num_sgd_iter=1,
+        lr=1e-4, use_phi=True,
+    )
+    init_fn, train_it = make_ppo_lstm(specs, cfg, potential_fn=phi)
+    ts = init_fn(jax.random.PRNGKey(0))
+    ts, m = train_it(ts)
+    assert np.isfinite(float(m.kl))
+    assert np.isfinite(float(m.episode_total_reward))
