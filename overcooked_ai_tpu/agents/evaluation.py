@@ -36,10 +36,19 @@ DEFAULT_TRAJ_KEYS = TIMESTEP_TRAJ_KEYS + EPISODE_TRAJ_KEYS + ["metadatas"]
 
 class AgentFn(NamedTuple):
     """A functional agent: policy(key, layout, state, agent_index, carry)
-    -> (action, new_carry); init_carry(batch) -> pytree."""
+    -> (action, new_carry); init_carry(batch) -> pytree.
+
+    stateful=False (scripted/feed-forward agents): `carry` is the SHARED
+    (P, 3) prev pos/orient the rollout loop maintains for the greedy
+    model's unstuck logic; the policy's returned carry is ignored.
+    stateful=True (e.g. recurrent nets): `carry` is the agent's OWN state
+    -- init_carry(batch) seeds it and the rollout threads the returned
+    carry back in each step (reference recurrent policies carrying rllib
+    RNN state, ppo_rllib.py:89-237)."""
 
     policy: Callable
     init_carry: Callable = staticmethod(lambda batch: jnp.zeros((batch,)))
+    stateful: bool = False
 
 
 def stateless(fn):
@@ -92,27 +101,36 @@ def run_agent_pair(
         env_transition, in_axes=(None, -1, -1), out_axes=-1
     )
 
-    def single_actions(key, state, prev_pos_or):
+    stateful = [bool(getattr(a, "stateful", False)) for a in agents]
+
+    def single_actions(key, state, prev_pos_or, carries):
         keys = jax.random.split(key, num_players)
         acts = []
+        new_carries = []
         for i, agent in enumerate(agents):
-            a, _ = agent.policy(keys[i], layout, state, i, prev_pos_or)
+            c = carries[i] if stateful[i] else prev_pos_or
+            a, nc = agent.policy(keys[i], layout, state, i, c)
             acts.append(a)
-        return jnp.stack(acts)
+            new_carries.append(nc if stateful[i] else None)
+        return jnp.stack(acts), tuple(new_carries)
 
     batched_actions = jax.vmap(
-        single_actions, in_axes=(0, -1, -1), out_axes=-1
+        single_actions, in_axes=(0, -1, -1, 0), out_axes=(-1, 0)
     )
 
     @jax.jit
     def rollout(key):
         state0 = batch_reset(layout, B)
         prev0 = jnp.full((num_players, 3, B), -1, jnp.int32)
+        carries0 = tuple(
+            agents[i].init_carry(B) if stateful[i] else None
+            for i in range(num_players)
+        )
 
         def body(carry, key_t):
-            state, prev = carry
+            state, prev, carries = carry
             keys_b = jax.random.split(key_t, B)
-            actions = batched_actions(keys_b, state, prev)
+            actions, carries = batched_actions(keys_b, state, prev, carries)
             next_state, info = batched_transition(layout, state, actions)
             new_prev = jnp.concatenate(
                 [state.pos, state.orient[:, None]], axis=1
@@ -124,11 +142,11 @@ def run_agent_pair(
                 shaped=info.shaped_reward,
                 events=info.events,
             )
-            return (next_state, new_prev), out
+            return (next_state, new_prev, carries), out
 
         keys = jax.random.split(key, horizon)
-        (final_state, _), traj = jax.lax.scan(
-            body, (state0, prev0), keys
+        (final_state, _, _), traj = jax.lax.scan(
+            body, (state0, prev0, carries0), keys
         )
         return traj
 

@@ -75,11 +75,43 @@ def build_agent(kind: str, spec, tables):
 
         ckpt_dir = kind[4:]
         with open(os.path.join(ckpt_dir, "config.json")) as f:
-            saved = json.load(f)["config"]
+            meta = json.load(f)
+        saved = meta["config"]
         net_cfg = NetConfig(**saved["net"])
         cfg = PPOConfig(
             num_envs=2, net=net_cfg
         )  # only the net matters for inference
+
+        if meta.get("use_lstm"):
+            # recurrent checkpoint: a STATEFUL agent whose carry is the
+            # per-sample (c, h) hidden state (reference loads use_lstm
+            # rllib checkpoints the same way, rllib.py:788-854 +
+            # ppo_rllib.py RNN state)
+            from overcooked_ai_tpu.training.networks import LSTMPPONet
+            from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+            init_fn, _ = make_ppo_lstm(spec, cfg)
+            ts, _ = restore_checkpoint(
+                ckpt_dir, init_fn(jax.random.PRNGKey(0))
+            )
+            lnet = LSTMPPONet(net_cfg)
+
+            def lstm_policy(key, layout, state, idx, carry):
+                obs = lossless_encode(layout, state)  # (P, 26, H, W)
+                x = jnp.transpose(obs[idx], (1, 2, 0))[None, None]
+                c, h = carry  # per-sample (cell,)
+                logits_seq, _, (c2, h2) = lnet.apply(
+                    ts.params, x, (c[None], h[None])
+                )
+                a = jax.random.categorical(key, logits_seq[0, 0])
+                return a.astype(jnp.int32), (c2[0], h2[0])
+
+            return AgentFn(
+                policy=lstm_policy,
+                init_carry=lambda batch: lnet.initial_carry(batch),
+                stateful=True,
+            )
+
         init_fn, _ = make_ppo(spec, cfg)
         ts, _ = restore_checkpoint(ckpt_dir, init_fn(jax.random.PRNGKey(0)))
         net = PPONet(net_cfg)

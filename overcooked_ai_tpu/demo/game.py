@@ -288,13 +288,24 @@ def npc_from_kind(kind: str, layout_name: str, seat: int = 1):
     layout = jax.tree.map(jnp.asarray, spec.layout)
     rng = np.random.RandomState(0)
     prev = jnp.full((spec.num_players, 3), -1, jnp.int32)
-    carry = agent.init_carry(1)
+    stateful = bool(getattr(agent, "stateful", False))
+    # stateful agents (recurrent checkpoints) own their carry, per-sample;
+    # everyone else reads the shared prev pos/orient (greedy unstuck)
+    carry = (
+        jax.tree.map(lambda x: x[0], agent.init_carry(1))
+        if stateful
+        else None
+    )
 
     def policy(state_dict, seat_idx):
         nonlocal prev, carry
         state = jax.tree.map(jnp.asarray, state_from_dict(state_dict, spec))
         key = jax.random.PRNGKey(rng.randint(2**31))
-        action, carry = agent.policy(key, layout, state, seat_idx, prev)
+        action, new_carry = agent.policy(
+            key, layout, state, seat_idx, carry if stateful else prev
+        )
+        if stateful:
+            carry = new_carry
         prev = jnp.concatenate([state.pos, state.orient[:, None]], axis=1)
         return int(action)
 

@@ -20,8 +20,11 @@ import orbax.checkpoint as ocp
 from overcooked_ai_tpu.training.ppo import PPOConfig, TrainState
 
 
-def save_checkpoint(ckpt_dir, ts: TrainState, config: PPOConfig, step: int):
-    """Save a training checkpoint (orbax) + config (JSON)."""
+def save_checkpoint(ckpt_dir, ts: TrainState, config: PPOConfig, step: int,
+                    extra=None):
+    """Save a training checkpoint (orbax) + config (JSON). `extra` merges
+    additional JSON metadata (e.g. {"use_lstm": True} so agent loaders can
+    rebuild the right net family)."""
     ckpt_dir = os.path.abspath(ckpt_dir)
     os.makedirs(ckpt_dir, exist_ok=True)
     with ocp.StandardCheckpointer() as ckptr:
@@ -34,7 +37,10 @@ def save_checkpoint(ckpt_dir, ts: TrainState, config: PPOConfig, step: int):
     cfg["net"] = dataclasses.asdict(config.net)
     cfg["bc_schedule"] = [list(p) for p in config.bc_schedule]
     with open(os.path.join(ckpt_dir, "config.json"), "w") as f:
-        json.dump({"config": cfg, "latest_step": step}, f, indent=1, default=str)
+        json.dump(
+            {"config": cfg, "latest_step": step, **(extra or {})},
+            f, indent=1, default=str,
+        )
 
 
 def latest_step(ckpt_dir):

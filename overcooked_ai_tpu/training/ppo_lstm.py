@@ -472,3 +472,53 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
         return new_ts, metrics
 
     return init_fn, train_iteration
+
+
+def make_ppo_lstm_eval(spec, net_config=None, num_games: int = 8,
+                       horizon: int = 400):
+    """Shaping-free self-play evaluation for the recurrent policy
+    (make_ppo_eval's LSTM counterpart): the hidden state threads through
+    the episode scan. Returns eval(params, key) -> mean sparse return."""
+    from overcooked_ai_tpu.core.encoding import lossless_encode
+    from overcooked_ai_tpu.core.step import step as env_transition
+    from overcooked_ai_tpu.training.networks import NetConfig
+
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    num_players = spec.num_players
+    net = LSTMPPONet(net_config or NetConfig())
+    height, width = spec.height, spec.width
+    B = num_games
+    N = num_players * B
+    encode = jax.vmap(
+        lambda lay, s: lossless_encode(lay, s, horizon=horizon),
+        in_axes=(None, -1),
+        out_axes=0,
+    )
+
+    @jax.jit
+    def evaluate(params, key):
+        state0 = batch_reset(layout, B)
+        carry0 = net.initial_carry(N)
+
+        def body(carry, key_t):
+            state, lstm_carry = carry
+            enc = encode(layout, state)
+            enc = jnp.transpose(enc, (1, 0, 3, 4, 2))
+            obs = enc.reshape(N, height, width, 26)
+            logits_seq, _, new_carry = net.apply(
+                params, obs[:, None], lstm_carry
+            )
+            action = jax.random.categorical(key_t, logits_seq[:, 0])
+            actions_pb = action.reshape(num_players, B)
+            next_state, info = jax.vmap(
+                env_transition, in_axes=(None, -1, -1), out_axes=-1
+            )(layout, state, actions_pb)
+            return (next_state, new_carry), jnp.sum(
+                info.sparse_reward, axis=0
+            )
+
+        keys = jax.random.split(key, horizon)
+        _, sparse = jax.lax.scan(body, (state0, carry0), keys)
+        return jnp.sum(sparse) / B
+
+    return evaluate

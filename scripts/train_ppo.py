@@ -155,12 +155,19 @@ def main():
     )
     eval_fn = None
     if args.eval_interval:
-        from overcooked_ai_tpu.training.ppo import make_ppo_eval
+        if args.use_lstm:
+            from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm_eval
 
-        eval_fn = make_ppo_eval(
-            spec, config.net, num_games=args.eval_games,
-            bc_policy=bc_policy,
-        )
+            eval_fn = make_ppo_lstm_eval(
+                spec, config.net, num_games=args.eval_games
+            )
+        else:
+            from overcooked_ai_tpu.training.ppo import make_ppo_eval
+
+            eval_fn = make_ppo_eval(
+                spec, config.net, num_games=args.eval_games,
+                bc_policy=bc_policy,
+            )
 
     t_start = time.time()
     for it in range(start_iter + 1, start_iter + args.iters + 1):
@@ -182,7 +189,9 @@ def main():
                 flush=True,
             )
         if it % args.save_freq == 0 or it == args.iters:
-            save_checkpoint(out_dir, ts, config, step=it)
+            save_checkpoint(out_dir, ts, config, step=it,
+                            extra={"use_lstm": args.use_lstm,
+                                   "layout": args.layout})
     print(f"done in {time.time() - t_start:.0f}s -> {out_dir}", flush=True)
 
 
