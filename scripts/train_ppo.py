@@ -23,7 +23,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layout", default="cramped_room")
     ap.add_argument("--iters", type=int, default=420)
-    ap.add_argument("--num-envs", type=int, default=30)
+    ap.add_argument(
+        "--num-envs", type=int, default=30,
+        help="parallel envs (reference: 30 workers x 400 = batch 12000). "
+        "Multiples of 128 auto-enable the fused pallas rollout kernel "
+        "(~5x the env-side throughput; see --fused)",
+    )
+    ap.add_argument(
+        "--fused", choices=["auto", "on", "off"], default="auto",
+        help="env side of each training step as one pallas kernel "
+        "(PPOConfig.fused): auto enables it for 128-lane batches; "
+        "on forces it (errors if the batch is incompatible)",
+    )
     ap.add_argument(
         "--lr", type=float, default=None,
         help="learning rate; defaults to the reference's 5e-5, EXCEPT with "
@@ -91,6 +102,7 @@ def main():
         bc_schedule = tuple(pts)
         assert args.bc_model, "--bc-schedule requires --bc-model"
 
+    fused = {"auto": None, "on": True, "off": False}[args.fused]
     if args.local_testing:
         config = PPOConfig(
             num_envs=2,
@@ -101,6 +113,7 @@ def main():
             lr=args.lr,
             use_phi=args.use_phi,
             bc_schedule=bc_schedule,
+            fused=fused,
         )
     else:
         config = PPOConfig(
@@ -108,6 +121,7 @@ def main():
             lr=args.lr,
             use_phi=args.use_phi,
             bc_schedule=bc_schedule,
+            fused=fused,
         )
 
     bc_policy = None
