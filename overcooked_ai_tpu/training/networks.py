@@ -31,12 +31,14 @@ import jax.numpy as jnp
 _glorot = nn.initializers.glorot_uniform()
 
 
-def _conv(features, kernel, padding):
-    return nn.Conv(features, kernel, padding=padding, kernel_init=_glorot)
+def _conv(features, kernel, padding, dtype=None):
+    return nn.Conv(
+        features, kernel, padding=padding, kernel_init=_glorot, dtype=dtype
+    )
 
 
-def _dense(features):
-    return nn.Dense(features, kernel_init=_glorot)
+def _dense(features, dtype=None):
+    return nn.Dense(features, kernel_init=_glorot, dtype=dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +52,13 @@ class NetConfig:
     d2rl: bool = False
     cell_size: int = 256  # LSTM only
     num_actions: int = 6
+    # Activation/compute dtype ("float32" | "bfloat16"); params stay
+    # float32 either way (flax dtype semantics = mixed precision). bf16
+    # halves MXU/VPU work in the rollout's sequential forwards -- the
+    # wall-clock bottleneck of a PPO iteration (NOTES.md) -- at the cost
+    # of ~1e-2-level logit noise; default float32 preserves bit-stable
+    # reproducibility with earlier rounds.
+    compute_dtype: str = "float32"
 
 
 class PPONet(nn.Module):
@@ -58,24 +67,27 @@ class PPONet(nn.Module):
     @nn.compact
     def __call__(self, obs):
         """obs: (B, H, W, C) int or float -> (logits (B, A), value (B,))."""
-        x = obs.astype(jnp.float32)
         cfg = self.cfg
+        dt = jnp.dtype(cfg.compute_dtype)
+        x = obs.astype(dt)
         if cfg.num_conv_layers > 0:
-            x = _conv(cfg.num_filters, (5, 5), "SAME")(x)
+            x = _conv(cfg.num_filters, (5, 5), "SAME", dt)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         for i in range(cfg.num_conv_layers - 1):
             padding = "SAME" if i < cfg.num_conv_layers - 2 else "VALID"
-            x = _conv(cfg.num_filters, (3, 3), padding)(x)
+            x = _conv(cfg.num_filters, (3, 3), padding, dt)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         conv_out = x.reshape(x.shape[0], -1)
         x = conv_out
         for i in range(cfg.num_hidden_layers):
             if i > 0 and cfg.d2rl:
                 x = jnp.concatenate([x, conv_out], axis=-1)
-            x = _dense(cfg.size_hidden_layers)(x)
+            x = _dense(cfg.size_hidden_layers, dt)(x)
             x = nn.leaky_relu(x, negative_slope=0.3)
-        logits = _dense(cfg.num_actions)(x)
-        value = _dense(1)(x)[:, 0]
+        # heads in float32: logits feed categorical sampling and the
+        # value/ratio losses, where bf16 rounding hurts
+        logits = _dense(cfg.num_actions)(x.astype(jnp.float32))
+        value = _dense(1)(x.astype(jnp.float32))[:, 0]
         return logits, value
 
 

@@ -122,3 +122,27 @@ def test_ppo_sp_phi_threshold():
     ts, hist = train(spec, cfg, num_iterations=30, seed=0, potential_fn=phi)
     last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 13, last5
+
+
+def test_ppo_bf16_compute_trains():
+    """Mixed-precision net (NetConfig.compute_dtype=bfloat16, float32
+    params and heads): one iteration runs with finite losses."""
+    from overcooked_ai_tpu.training.networks import NetConfig
+    from overcooked_ai_tpu.training.ppo import make_ppo
+
+    spec = from_layout_name("cramped_room")
+    cfg = PPOConfig(
+        num_envs=4, horizon=40, sgd_minibatch_size=160, num_sgd_iter=1,
+        lr=1e-4, net=NetConfig(compute_dtype="bfloat16"),
+    )
+    init_fn, train_it = make_ppo(spec, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+    import numpy as _np
+
+    # params stay float32 (flax mixed-precision semantics)
+    assert all(
+        leaf.dtype == _np.float32 for leaf in jax.tree.leaves(ts.params)
+    )
+    ts, m = train_it(ts)
+    assert _np.isfinite(float(m.kl))
+    assert _np.isfinite(float(m.policy_loss))
