@@ -78,6 +78,9 @@ def build_agent(kind: str, spec, tables):
             meta = json.load(f)
         saved = meta["config"]
         net_cfg = NetConfig(**saved["net"])
+        # encode with the horizon the checkpoint trained at, else the
+        # urgency layer (horizon - t < 40) is shifted at eval/demo time
+        enc_horizon = int(saved.get("horizon", 400))
         cfg = PPOConfig(
             num_envs=2, net=net_cfg
         )  # only the net matters for inference
@@ -97,7 +100,7 @@ def build_agent(kind: str, spec, tables):
             lnet = LSTMPPONet(net_cfg)
 
             def lstm_policy(key, layout, state, idx, carry):
-                obs = lossless_encode(layout, state)  # (P, 26, H, W)
+                obs = lossless_encode(layout, state, horizon=enc_horizon)
                 x = jnp.transpose(obs[idx], (1, 2, 0))[None, None]
                 c, h = carry  # per-sample (cell,)
                 logits_seq, _, (c2, h2) = lnet.apply(
@@ -117,7 +120,7 @@ def build_agent(kind: str, spec, tables):
         net = PPONet(net_cfg)
 
         def policy(key, layout, state, idx):
-            obs = lossless_encode(layout, state)  # (P, 26, H, W)
+            obs = lossless_encode(layout, state, horizon=enc_horizon)
             x = jnp.transpose(obs[idx], (1, 2, 0))[None]
             logits, _ = net.apply(ts.params, x)
             return jax.random.categorical(key, logits[0]).astype(jnp.int32)

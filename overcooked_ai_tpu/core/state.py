@@ -24,6 +24,7 @@ from overcooked_ai_tpu.core.constants import (
     OBJ_NAME_TO_CODE,
     OBJ_NONE,
     OBJ_SOUP,
+    TERRAIN_CODE_TO_CHAR,
     TUPLE_TO_DIRECTION,
 )
 
@@ -235,3 +236,85 @@ def canonical_state_dict(d: dict) -> dict:
     out = canon(d)
     out["objects"] = sorted(out["objects"], key=lambda o: tuple(o["position"]))
     return out
+
+
+# --- ASCII debugging surface (reference state_string, overcooked_mdp.py:2314) ---
+
+_DIR_CHARS = {0: "↑", 1: "↓", 2: "→", 3: "←"}  # N S E W
+_ING_CHARS = {1: "ø", 2: "†"}  # onion, tomato (Recipe.STR_REP)
+
+
+def _soup_str(slots, tick, cook_time) -> str:
+    """Reference SoupState.__str__ (overcooked_mdp.py:486-494): '{' then
+    one char per ingredient in sorted order (onions before tomatoes), then
+    the cooking tick while cooking or a check mark when ready."""
+    n_onion = int(np.sum(slots == 1))
+    n_tomato = int(np.sum(slots == 2))
+    res = "{" + _ING_CHARS[1] * n_onion + _ING_CHARS[2] * n_tomato
+    tick = int(tick)
+    if 0 <= tick < cook_time:
+        res += str(tick)
+    elif tick >= cook_time:
+        res += "✓"
+    return res
+
+
+def state_string(spec, state: State) -> str:
+    """ASCII-art rendering of a state over its terrain -- the reference's
+    standard debugging / scenario-documentation surface
+    (`OvercookedGridworld.state_string`, overcooked_mdp.py:2314-2380):
+    7-char-padded cells; players as an orientation arrow + index (+ held
+    object char / soup string); counter and pot contents inline; bonus
+    orders appended.
+    """
+    terrain = np.asarray(spec.layout.terrain)
+    time_table = np.asarray(spec.layout.time_table)
+    H, W = terrain.shape
+    pos = np.asarray(state.pos)
+    players_at = {
+        (int(pos[i, 0]), int(pos[i, 1])): i for i in range(pos.shape[0])
+    }
+    out = []
+    for y in range(H):
+        for x in range(W):
+            cell = ""
+            if (x, y) in players_at:
+                i = players_at[(x, y)]
+                cell += _DIR_CHARS[int(np.asarray(state.orient)[i])]
+                held = int(np.asarray(state.held)[i])
+                if held != OBJ_NONE:
+                    cell += str(i)
+                    if held == OBJ_SOUP:
+                        slots = np.asarray(state.held_soup)[i]
+                        n_o = int(np.sum(slots == 1))
+                        n_t = int(np.sum(slots == 2))
+                        cell += _soup_str(
+                            slots,
+                            np.asarray(state.held_soup_tick)[i],
+                            int(time_table[n_o, n_t]),
+                        )
+                    else:
+                        cell += OBJ_CODE_TO_NAME[held][:1]
+                else:
+                    cell += str(i)
+            else:
+                cell += TERRAIN_CODE_TO_CHAR[int(terrain[y, x])]
+                obj = int(np.asarray(state.obj)[y, x])
+                if obj != OBJ_NONE:
+                    if obj == OBJ_SOUP:
+                        slots = np.asarray(state.soup_ing)[y, x]
+                        n_o = int(np.sum(slots == 1))
+                        n_t = int(np.sum(slots == 2))
+                        cell += _soup_str(
+                            slots,
+                            np.asarray(state.soup_tick)[y, x],
+                            int(time_table[n_o, n_t]),
+                        )
+                    else:
+                        cell += OBJ_CODE_TO_NAME[obj][:1]
+            out.append(cell + " " * (7 - len(cell)) + " ")
+        out.append("\n\n")
+    s = "".join(out)
+    if spec.sorted_bonus_orders:
+        s += f"Bonus orders: {spec.sorted_bonus_orders}\n"
+    return s

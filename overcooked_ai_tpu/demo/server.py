@@ -65,6 +65,18 @@ _free_ids = list(range(MAX_GAMES - 1, -1, -1))
 # data write-out, app.py:626-658); rows accumulate across rounds and are
 # served back as a 2020-schema CSV
 _experiments = {}
+_experiments_lock = threading.Lock()
+# hard cap on retained rows per participant: a predefined experiment is
+# ~5 rounds x 400 ticks; 100k bounds memory against runaway clients
+_MAX_EXPERIMENT_ROWS = 100_000
+
+
+def _safe_participant(raw) -> str:
+    """Normalize a client-supplied participant id to a header/filename-safe
+    token (no CRLF/quote header injection via Content-Disposition)."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9_.-]", "_", str(raw)[:64]) or "anon"
 _STATIC_DIR = os.path.join(os.path.dirname(__file__), "static")
 
 # action index -> reference JSON action (Direction tuples / "INTERACT"),
@@ -122,7 +134,8 @@ def experiment_csv(participant):
     import csv
     import io
 
-    rows = _experiments.get(participant, [])
+    with _experiments_lock:
+        rows = list(_experiments.get(participant, []))
     buf = io.StringIO()
     w = csv.DictWriter(buf, fieldnames=_CSV_COLUMNS)
     w.writeheader()
@@ -271,7 +284,7 @@ class Handler(BaseHTTPRequestHandler):
             return self._file(rel, self._CTYPES.get(ext, "text/plain"))
         if url.path == "/api/experiment/csv":
             q = parse_qs(url.query)
-            participant = (q.get("participant") or [""])[0]
+            participant = _safe_participant((q.get("participant") or [""])[0])
             body = experiment_csv(participant).encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/csv")
@@ -362,13 +375,17 @@ class Handler(BaseHTTPRequestHandler):
         if url.path == "/api/experiment/save":
             # snapshot a finished round's rows under the participant id
             # (reference writes per-game pickles at game end, app.py:626-658)
-            participant = str(body.get("participant", "anon"))[:64]
+            participant = _safe_participant(body.get("participant", "anon"))
             round_idx = int(body.get("round", 0))
             rows = _experiment_rows(
                 game, participant, round_idx,
                 getattr(game, "partner_kind", "greedy"),
             )
-            _experiments.setdefault(participant, []).extend(rows)
+            with _experiments_lock:
+                store = _experiments.setdefault(participant, [])
+                store.extend(
+                    rows[: max(0, _MAX_EXPERIMENT_ROWS - len(store))]
+                )
             return self._json({"ok": True, "rows": len(rows)})
         if url.path == "/api/action":
             try:

@@ -98,20 +98,24 @@ class LSTMPPONet(nn.Module):
     cfg: NetConfig
 
     def _torso(self, x):
+        # conv/dense torso honors cfg.compute_dtype like PPONet; the LSTM
+        # cell and heads stay float32 (recurrent state + losses are where
+        # bf16 rounding hurts), so the caller casts back after the torso
         cfg = self.cfg
-        x = x.astype(jnp.float32)
+        dt = jnp.dtype(cfg.compute_dtype)
+        x = x.astype(dt)
         if cfg.num_conv_layers > 0:
-            x = _conv(cfg.num_filters, (5, 5), "SAME")(x)
+            x = _conv(cfg.num_filters, (5, 5), "SAME", dt)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         for i in range(cfg.num_conv_layers - 1):
             padding = "SAME" if i < cfg.num_conv_layers - 2 else "VALID"
-            x = _conv(cfg.num_filters, (3, 3), padding)(x)
+            x = _conv(cfg.num_filters, (3, 3), padding, dt)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
         x = x.reshape(x.shape[:-3] + (-1,))
         for _ in range(self.cfg.num_hidden_layers):
-            x = _dense(self.cfg.size_hidden_layers)(x)
+            x = _dense(self.cfg.size_hidden_layers, dt)(x)
             x = nn.leaky_relu(x, negative_slope=0.2)
-        return x
+        return x.astype(jnp.float32)
 
     @nn.compact
     def __call__(self, obs_seq, carry=None):

@@ -209,8 +209,17 @@ def make_ppo(
         and B_local % _lanes == 0
         and B_local % fused_block_b == 0
     )
+    # The Mosaic kernel only lowers on TPU; elsewhere it needs interpret
+    # mode (cpu). The real chip may report an experimental platform name
+    # (e.g. "axon"), so sniff the device kind too. On any other backend
+    # (gpu, ...) auto mode must fall back to the XLA path.
+    _backend = jax.default_backend()
+    _dev_kind = jax.devices()[0].device_kind if jax.devices() else ""
+    _fused_backend_ok = (
+        _backend in ("cpu", "tpu") or "tpu" in _dev_kind.lower()
+    )
     if config.fused is None:
-        fused_enabled = fused_ok and B_local % 128 == 0
+        fused_enabled = fused_ok and B_local % 128 == 0 and _fused_backend_ok
     elif config.fused:
         if not fused_ok:
             raise ValueError(

@@ -79,8 +79,15 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
     fused_ok = (
         not pool_mode and B % _lanes == 0 and B % fused_block_b == 0
     )
+    # auto mode also requires a backend the kernel can actually run on
+    # (tpu compiled, or cpu via interpret) -- see training/ppo.py
+    _backend = jax.default_backend()
+    _dev_kind = jax.devices()[0].device_kind if jax.devices() else ""
+    _fused_backend_ok = (
+        _backend in ("cpu", "tpu") or "tpu" in _dev_kind.lower()
+    )
     if config.fused is None:
-        fused_enabled = fused_ok and B % 128 == 0
+        fused_enabled = fused_ok and B % 128 == 0 and _fused_backend_ok
     elif config.fused:
         if not fused_ok:
             raise ValueError(

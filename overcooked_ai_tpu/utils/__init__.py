@@ -215,3 +215,19 @@ def device_trace(log_dir):
             jax.profiler.stop_trace()
 
     return _ctx()
+
+
+def remove_indices_and_renormalize(probs, indices, eps=0.0):
+    """Zero (to eps) the given action indices and renormalize the
+    distribution(s) -- reference Action.remove_indices_and_renormalize
+    (actions.py:104-117). Accepts a 1-D distribution or a (B, A) batch;
+    always returns a numpy array.
+    """
+    import numpy as np
+
+    probs = np.array(probs, dtype=float, copy=True)
+    if probs.ndim > 1:
+        probs[:, list(indices)] = eps
+        return probs / probs.sum(axis=1, keepdims=True)
+    probs[list(indices)] = eps
+    return probs / probs.sum()

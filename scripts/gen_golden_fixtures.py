@@ -142,9 +142,46 @@ def gen_aux():
         )
 
 
+def gen_state_strings():
+    """Per-step reference `state_string` renders of the scripted dynamics
+    fixtures (consumed by tests/test_state_string.py)."""
+    import gzip
+    import json
+
+    oracle.load()
+    from overcooked_ai_py.mdp.overcooked_mdp import OvercookedState
+
+    for fix in [
+        "dynamics_cramped_room_scripted",
+        "dynamics_old_dynamics_cook_scripted",
+    ]:
+        path = os.path.join(GOLDEN_DIR, fix + ".json.gz")
+        with gzip.open(path, "rt") as f:
+            d = json.load(f)
+        mdp = oracle.make_mdp(d["layout"], **d["overrides"])
+        strings = [
+            mdp.state_string(OvercookedState.from_dict(s))
+            for s in [d["start_state"]]
+            + [st["state"] for st in d["steps"]]
+        ]
+        write_fixture(
+            os.path.join(
+                GOLDEN_DIR, f"state_string_{d['layout']}.json.gz"
+            ),
+            dict(
+                layout=d["layout"],
+                overrides=d["overrides"],
+                fixture=fix,
+                strings=strings,
+            ),
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["dynamics", "aux"], default=None)
+    ap.add_argument(
+        "--only", choices=["dynamics", "aux", "state_strings"], default=None
+    )
     args = ap.parse_args()
     if not oracle.available():
         raise SystemExit(
@@ -156,6 +193,8 @@ def main():
         gen_dynamics()
     if args.only in (None, "aux"):
         gen_aux()
+    if args.only in (None, "state_strings"):
+        gen_state_strings()
 
 
 if __name__ == "__main__":

@@ -44,6 +44,22 @@ def main():
         "5e-4 demonstrably trains",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--entropy-end", type=float, default=None,
+        help="entropy coefficient floor (reference entropy_coeff_end=0.1; "
+        "the reference schedule leaves the converged policy at ~1.57 nats "
+        "of 1.79 max -- near-random. Lower floors (e.g. 0.01) let the "
+        "policy commit and lift eval scores well past the scripted pair)",
+    )
+    ap.add_argument(
+        "--entropy-horizon", type=float, default=None,
+        help="entropy anneal horizon in env steps (reference 3e5)",
+    )
+    ap.add_argument(
+        "--shaping-horizon", type=float, default=None,
+        help="linear reward-shaping-factor anneal horizon in env steps "
+        "(reference reward_shaping_horizon, default inf = no anneal)",
+    )
     ap.add_argument("--use-phi", action="store_true")
     ap.add_argument("--use-lstm", action="store_true")
     ap.add_argument("--old-dynamics", action="store_true")
@@ -103,6 +119,13 @@ def main():
         assert args.bc_model, "--bc-schedule requires --bc-model"
 
     fused = {"auto": None, "on": True, "off": False}[args.fused]
+    sched = {}
+    if args.entropy_end is not None:
+        sched["entropy_coeff_end"] = args.entropy_end
+    if args.entropy_horizon is not None:
+        sched["entropy_coeff_horizon"] = args.entropy_horizon
+    if args.shaping_horizon is not None:
+        sched["reward_shaping_horizon"] = args.shaping_horizon
     if args.local_testing:
         config = PPOConfig(
             num_envs=2,
@@ -114,6 +137,7 @@ def main():
             use_phi=args.use_phi,
             bc_schedule=bc_schedule,
             fused=fused,
+            **sched,
         )
     else:
         config = PPOConfig(
@@ -122,6 +146,7 @@ def main():
             use_phi=args.use_phi,
             bc_schedule=bc_schedule,
             fused=fused,
+            **sched,
         )
 
     bc_policy = None

@@ -1,10 +1,14 @@
 """Human-data cleaning + replay validation (reference human/tests.py).
 
-Covers the pieces VERDICT r1 flagged missing: csv_to_df_pickle cleaning
-(reference process_dataframes.py:75-161), per-layout train/test split
-(:265-311), and the replay-the-human-actions-through-the-env validation
-(reference TestHumanDataConversion, human/tests.py:147-212) run against the
-reference's real dummy data files.
+Covers csv_to_df_pickle cleaning (reference process_dataframes.py:75-161),
+per-layout train/test split (:265-311), and the
+replay-the-human-actions-through-the-env validation (reference
+TestHumanDataConversion, human/tests.py:147-212).
+
+HERMETIC: runs on committed SYNTHETIC fixtures (2020-schema CSV + 2019-style
+old-dynamics pickle) generated from our own scripted rollouts by
+scripts/gen_human_data_fixtures.py -- the analogue of the reference's
+dummy data files (static/human_data/dummy/), which are not vendored here.
 """
 
 import os
@@ -25,13 +29,14 @@ from overcooked_ai_tpu.human_data.pipeline import (
     train_test_split_trials,
 )
 
-DUMMY_DIR = "/root/reference/src/human_aware_rl/static/human_data/dummy"
-CSV_2020 = os.path.join(DUMMY_DIR, "dummy_2020_hh_trials.csv")
-PICKLE_2019 = os.path.join(DUMMY_DIR, "dummy_2019_hh_trials_all.pickle")
-
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(DUMMY_DIR), reason="reference dummy data not mounted"
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(__file__), "fixtures", "human_data"
 )
+CSV_2020 = os.path.join(FIXTURE_DIR, "synthetic_2020_hh_trials.csv")
+PICKLE_2019 = os.path.join(
+    FIXTURE_DIR, "synthetic_2019_hh_trials_all.pickle"
+)
+N_ROWS_2020 = 720  # 6 trials x 120 steps (gen_human_data_fixtures.py)
 
 
 def test_csv_to_df_pickle_2020(tmp_path):
@@ -41,23 +46,24 @@ def test_csv_to_df_pickle_2020(tmp_path):
         CSV_2020, str(tmp_path), "unittest",
         button_presses_threshold=0.0, perform_train_test_split=False,
     )
-    assert len(data) == 1189  # reference data_len_2020
+    assert len(data) == N_ROWS_2020
     assert os.path.exists(tmp_path / "unittest_all.pickle")
 
     lengths = []
-    for thr in (0.2, 0.6, 0.7):
+    # fixture strata: 1.0 / ~0.74 / ~0.24 presses per timestep
+    for thr in (0.2, 0.5, 0.9):
         d = csv_to_df_pickle(
             CSV_2020, str(tmp_path), "unittest",
             button_presses_threshold=thr, perform_train_test_split=False,
         )
         lengths.append(len(d))
     assert lengths == sorted(lengths, reverse=True)
-    assert lengths[-1] < 1189
+    assert lengths[-1] < N_ROWS_2020
 
     with pytest.raises(ValueError):
         csv_to_df_pickle(
             CSV_2020, str(tmp_path), "unittest",
-            button_presses_threshold=0.8, perform_train_test_split=False,
+            button_presses_threshold=1.01, perform_train_test_split=False,
         )
 
 
@@ -99,10 +105,12 @@ def test_train_test_split_per_layout(tmp_path):
 
 
 def test_replay_2019_human_data_through_step():
-    """Replay the dummy 2019 cramped_room human trajectories through our
-    jit step and assert per-step state equality with the recorded states
-    (reference TestHumanDataConversion.test_state, human/tests.py:147-212;
-    ignores timestep/orders like the reference's equal_dicts)."""
+    """Replay the synthetic 2019-style OLD-dynamics cramped_room
+    trajectories -- after repair_old_dynamics_rows inserts the explicit
+    cooking INTERACTs -- through our (new-dynamics) jit step and assert
+    per-step state equality with the recorded states (reference
+    TestHumanDataConversion.test_state, human/tests.py:147-212; ignores
+    timestep/orders like the reference's equal_dicts)."""
     pd = pytest.importorskip("pandas")
     import json
 

@@ -19,6 +19,7 @@ from overcooked_ai_tpu.core.layout import from_layout_name
 from overcooked_ai_tpu.core.state import (
     canonical_state_dict,
     state_from_dict,
+    state_string,
     state_to_dict,
 )
 from overcooked_ai_tpu.core.step import step
@@ -56,7 +57,12 @@ def test_golden_dynamics(name):
         my_dict = golden_io.jsonify(
             canonical_state_dict(state_to_dict(my_state, spec))
         )
-        assert my_dict == rec["state"], f"{name} state diverged at t={t}"
+        # failure messages render the diverged state as ASCII art, the
+        # reference's own debugging surface (overcooked_mdp.py:2314)
+        assert my_dict == rec["state"], (
+            f"{name} state diverged at t={t}; ours:\n"
+            f"{state_string(spec, my_state)}"
+        )
         np.testing.assert_array_equal(
             np.asarray(info.sparse_reward),
             np.asarray(rec["sparse"]),

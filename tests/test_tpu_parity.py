@@ -9,9 +9,11 @@ Run with:
 
     OVERCOOKED_TPU_TESTS=1 python -m pytest tests/test_tpu_parity.py -q
 
-(conftest.py forces the CPU backend unless OVERCOOKED_TEST_PLATFORM is
-set; these tests are practical only on the real device. First run
-compiles the fused programs remotely, ~1-2 min each.)
+(with OVERCOOKED_TPU_TESTS=1 conftest.py AUTODETECTS the accelerator --
+clearing any JAX_PLATFORMS pin, covering stacks whose TPU registers
+under an experimental platform name such as "axon" -- and fails fast
+with a clear error if jax only finds the CPU. First run compiles the
+fused programs remotely, ~1-2 min each.)
 
 Result log (run once per round, NOTES.md): r3 -- all pass on v5e.
 """
