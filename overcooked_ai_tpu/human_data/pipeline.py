@@ -228,7 +228,10 @@ def featurize_trajectories(spec, feature_cost, trajectories, num_pots=2):
 
     Returns (obs (N, F) float32, actions (N,) int32) concatenating both
     agent perspectives (reference joint->single conversion,
-    data_processing_utils.py:142-273).
+    data_processing_utils.py:142-273). A trajectory may carry a "seats"
+    key listing which seat indices to emit (default: all) -- used when
+    only one seat's policy should be cloned, e.g. a greedy demonstrator
+    paired with a random partner for state diversity.
     """
     import jax
     import jax.numpy as jnp
@@ -252,7 +255,7 @@ def featurize_trajectories(spec, feature_cost, trajectories, num_pots=2):
         )(batched)  # (T, P, F)
         feats = np.asarray(feats)
         T, P, _ = feats.shape
-        for p in range(P):
+        for p in traj.get("seats", range(P)):
             all_obs.append(feats[:, p])
             all_actions.append(traj["actions"][:, p])
     return (
@@ -274,3 +277,40 @@ def get_human_human_data(
         df = filter_trials(df, button_press_threshold)
     trajs = trials_to_trajectories(df, spec, layouts)
     return featurize_trajectories(spec, feature_cost, trajs)
+
+
+def rollout_to_bc_trajectories(spec, traj, num_games, horizon, seats=None):
+    """run_agent_pair output -> the pipeline's per-game trajectory schema.
+
+    run_agent_pair records POST-action states (its state[t] is the state
+    AFTER actions[t]); BC needs (pre-action state, action) pairs, so the
+    states are shifted: [reset, state[0], ..., state[T-2]]. (Pairing the
+    post-action state instead teaches an inverse-dynamics signal --
+    "repeat whatever your orientation implies" -- which NORTH-locks
+    clone-vs-clone pairs at the start state.)
+
+    seats: optional list of seat indices whose actions should be cloned
+    (threaded through to featurize_trajectories).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from overcooked_ai_tpu.core.env import batch_reset
+
+    states = jax.tree.map(jnp.asarray, traj["state"])
+    layout = jax.tree.map(jnp.asarray, spec.layout)
+    start = batch_reset(layout, num_games)
+    out = []
+    for g in range(num_games):
+        game_states = [jax.tree.map(lambda x: x[..., g], start)] + [
+            jax.tree.map(lambda x: x[t, ..., g], states)
+            for t in range(horizon - 1)
+        ]
+        t = {
+            "states": game_states,
+            "actions": np.asarray(traj["actions"][:, :, g]),
+        }
+        if seats is not None:
+            t["seats"] = seats
+        out.append(t)
+    return out

@@ -51,9 +51,12 @@ def init_distributed(
 
     Safe to call when already initialized (returns False then).
     """
-    if jax.process_count() > 1 or getattr(
-        jax._src.distributed.global_state, "client", None
-    ):
+    # ONLY inspect the distributed client handle -- jax.process_count()
+    # would initialize the XLA backend, after which
+    # jax.distributed.initialize() refuses to run (it must precede any
+    # backend use), making this function a no-op-that-breaks in every
+    # fresh worker process
+    if getattr(jax._src.distributed.global_state, "client", None):
         return False  # already initialized
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -78,11 +81,19 @@ def make_multihost_mesh(axis_name="dp") -> Mesh:
     n_procs = jax.process_count()
     per_host = jax.local_device_count()
     if n_procs > 1:
-        devices = mesh_utils.create_hybrid_device_mesh(
-            mesh_shape=(per_host,),
-            dcn_mesh_shape=(n_procs,),
-            devices=jax.devices(),
-        )
+        try:
+            devices = mesh_utils.create_hybrid_device_mesh(
+                mesh_shape=(per_host,),
+                dcn_mesh_shape=(n_procs,),
+                devices=jax.devices(),
+            )
+        except ValueError:
+            # non-TPU multi-process (e.g. the 2-process CPU test): devices
+            # carry no slice_index for the hybrid helper to group by, so
+            # build the hierarchical host-major order directly
+            devices = np.array(
+                sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+            )
     else:
         devices = mesh_utils.create_device_mesh(
             (len(jax.devices()),), devices=jax.devices()

@@ -19,19 +19,41 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed,
-                epsilon=0.0):
+                epsilon=0.1):
+    """Fit a BC clone on MIXED-PARTNER greedy demonstrations.
+
+    A clone trained only on greedy+greedy self-play mirror-deadlocks in
+    BC+BC evaluation: two identical clones collide early (e.g. both head
+    for the same dispenser), reach states the demonstrations never
+    visit, and the OOD logits freeze them in place (observed: one seat
+    spamming NORTH for 400 steps). The fix is data diversity, matching
+    the role human data plays for the reference: the greedy demonstrator
+    is also recorded alongside a Boltzmann-rational partner and a random
+    partner (cloning only the GREEDY seat there), so blockage states and
+    the greedy's auto-unstuck responses are in-distribution for the
+    clone.
+    """
     import jax
     import jax.numpy as jnp
 
     from overcooked_ai_tpu.agents.agents import (
         GreedyTables,
         make_greedy_human_model,
+        random_agent,
     )
-    from overcooked_ai_tpu.agents.evaluation import AgentFn, run_agent_pair
+    from overcooked_ai_tpu.agents.evaluation import (
+        AgentFn,
+        run_agent_pair,
+        stateless,
+    )
     from overcooked_ai_tpu.core.layout import from_layout_name
-    from overcooked_ai_tpu.human_data.pipeline import featurize_trajectories
+    from overcooked_ai_tpu.human_data.pipeline import (
+        featurize_trajectories,
+        rollout_to_bc_trajectories,
+    )
     from overcooked_ai_tpu.planning.greedy_tables import (
         build_first_action_table,
+        build_goal_tables,
     )
     from overcooked_ai_tpu.planning.tables import build_motion_tables
     from overcooked_ai_tpu.training.bc import (
@@ -43,42 +65,50 @@ def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed,
     spec = from_layout_name(layout_name)
     mt = build_motion_tables(spec.layout.terrain)
     fa = build_first_action_table(spec.layout.terrain)
-    greedy = make_greedy_human_model(
-        spec, GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
+    tables = GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
+    greedy = make_greedy_human_model(spec, tables)
+    boltz = make_greedy_human_model(
+        spec, tables, hl_boltzmann_rational=True, ll_boltzmann_rational=True,
+        goal_tables=build_goal_tables(spec.layout.terrain),
     )
-    def policy(key, layout, state, idx, carry):
-        # epsilon-noisy greedy: the clone inherits ~epsilon exploration,
-        # standing in for human imperfection (a pure deterministic clone
-        # can mirror-deadlock with itself on constrained layouts)
-        k_g, k_eps, k_rand = jax.random.split(key, 3)
-        a = greedy(k_g, layout, state, idx, carry)
-        if epsilon > 0:
-            a = jnp.where(
-                jax.random.uniform(k_eps) < epsilon,
-                jax.random.randint(k_rand, (), 0, 6),
-                a,
-            ).astype(jnp.int32)
-        return a, carry
 
-    agent = AgentFn(policy=policy, init_carry=lambda batch: None)
-    traj = run_agent_pair(
-        spec, [agent, agent], num_games=num_games, horizon=horizon,
-        seed=seed, greedy_carry=True,
-    )
-    states = jax.tree.map(jnp.asarray, traj["state"])
+    def noisy_policy(base):
+        def policy(key, layout, state, idx, carry):
+            # epsilon-noisy: the clone inherits ~epsilon exploration,
+            # standing in for human imperfection
+            k_g, k_eps, k_rand = jax.random.split(key, 3)
+            a = base(k_g, layout, state, idx, carry)
+            if epsilon > 0:
+                a = jnp.where(
+                    jax.random.uniform(k_eps) < epsilon,
+                    jax.random.randint(k_rand, (), 0, 6),
+                    a,
+                ).astype(jnp.int32)
+            return a, carry
+
+        return AgentFn(policy=policy, init_carry=lambda batch: None)
+
+    noisy = noisy_policy(greedy)
+    noisy_b = noisy_policy(boltz)
+    rand = stateless(random_agent)
+
+    # (seat0 agent, seat1 agent, seats whose actions to clone, games)
+    half = max(1, num_games // 2)
+    pairings = [
+        (noisy, noisy, [0, 1], num_games),
+        (noisy, noisy_b, [0], half),
+        (noisy_b, noisy, [1], half),
+        (noisy, rand, [0], half),
+        (rand, noisy, [1], half),
+    ]
     trajectories = []
-    for g in range(num_games):
-        game_states = [
-            jax.tree.map(lambda x: x[t, ..., g], states)
-            for t in range(horizon)
-        ]
-        trajectories.append(
-            {
-                "states": game_states,
-                "actions": __import__("numpy").asarray(
-                    traj["actions"][:, :, g]
-                ),
-            }
+    for k, (a0, a1, seats, games) in enumerate(pairings):
+        traj = run_agent_pair(
+            spec, [a0, a1], num_games=games, horizon=horizon,
+            seed=seed * 1000 + k, greedy_carry=True,
+        )
+        trajectories.extend(
+            rollout_to_bc_trajectories(spec, traj, games, horizon, seats)
         )
     obs, actions = featurize_trajectories(spec, mt.feature_cost, trajectories)
     cfg = BCConfig(epochs=epochs)
@@ -90,16 +120,18 @@ def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed,
         cfg,
         metadata={
             "layout": layout_name,
-            "source": "greedy human model rollouts "
-            f"({num_games} games x {horizon} steps, epsilon={epsilon})",
+            "source": "mixed-partner greedy demonstrations "
+            f"({num_games} self-play + 4x{half} mixed games x {horizon} "
+            f"steps, epsilon={epsilon}; partners: boltzmann, random)",
             "final_train_loss": float(history["loss"][-1]),
             "final_val_loss": float(history["val_loss"][-1])
             if history.get("val_loss") else None,
         },
     )
     print(
-        f"{layout_name}: loss {history['loss'][0]:.3f} -> "
-        f"{history['loss'][-1]:.3f}, saved {model_dir}",
+        f"{layout_name}: {obs.shape[0]} samples, "
+        f"loss {history['loss'][0]:.3f} -> {history['loss'][-1]:.3f}, "
+        f"saved {model_dir}",
         flush=True,
     )
 

@@ -90,20 +90,12 @@ def _train_greedy_bc(spec, epochs=12, num_games=4, horizon=120,
         spec, [agent, agent], num_games=num_games, horizon=horizon,
         seed=0, greedy_carry=behavior == "greedy",
     )
-    # to the pipeline's trajectory schema: per-game states + joint actions
-    states = jax.tree.map(jnp.asarray, traj["state"])
-    trajectories = []
-    for g in range(num_games):
-        game_states = [
-            jax.tree.map(lambda x: x[t, ..., g], states)
-            for t in range(horizon)
-        ]
-        trajectories.append(
-            {
-                "states": game_states,
-                "actions": np.asarray(traj["actions"][:, :, g]),
-            }
-        )
+    # to the pipeline's trajectory schema (pre-action states + actions)
+    from overcooked_ai_tpu.human_data.pipeline import (
+        rollout_to_bc_trajectories,
+    )
+
+    trajectories = rollout_to_bc_trajectories(spec, traj, num_games, horizon)
     obs, actions = featurize_trajectories(spec, mt.feature_cost, trajectories)
     cfg = BCConfig(epochs=epochs, early_stopping_patience=epochs)
     params, history = train_bc_model(obs, actions, cfg, seed=0)
