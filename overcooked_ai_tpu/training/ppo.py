@@ -60,6 +60,13 @@ class PPOConfig:
     reward_shaping_factor: float = 1.0
     reward_shaping_horizon: float = float("inf")
     use_phi: bool = False
+    # phi_event_mix: with use_phi, dense reward = delta-phi PLUS the event
+    # shaping (both scaled by the annealed shaping factor). The reference's
+    # production default (pure delta-phi) never lifts off -- its landscape
+    # penalizes potting (PHI_STUDY.md) -- while events alone train well;
+    # the mix keeps phi's global progress signal AND the event curriculum,
+    # making --use-phi deliver soups at production scale.
+    phi_event_mix: bool = False
     # PPO+BC: piecewise-linear (t, bc_factor) schedule; bc_factor is the
     # per-episode probability the partner seat is the BC policy
     # (reference OvercookedMultiAgent bc_schedule, rllib.py:262-281,370-385)
@@ -341,6 +348,8 @@ def make_ppo(
                 dense = jnp.broadcast_to(
                     (phi_sp - phi_s)[None], (num_players, B)
                 )
+                if config.phi_event_mix:
+                    dense = dense + info.shaped_reward.astype(jnp.float32)
             else:
                 dense = info.shaped_reward.astype(jnp.float32)
             reward = (
@@ -460,6 +469,8 @@ def make_ppo(
                 dense = jnp.broadcast_to(
                     (phi_sp - phi_s)[None], (num_players, B)
                 )
+                if config.phi_event_mix:
+                    dense = dense + shaped.astype(jnp.float32)
             else:
                 phi_sp = phi_s
                 dense = shaped.astype(jnp.float32)

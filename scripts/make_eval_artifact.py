@@ -1,16 +1,26 @@
 """Assemble the canonical evaluation artifact (reference
-human_aware_rl/ppo/evaluate.py:116-189): the 5-layout pairwise matrix of
-{PPO_SP, BC human-proxy, greedy} agents, BOTH seat orders, plus a
-small-multiples heatmap and a markdown summary.
+human_aware_rl/ppo/evaluate.py:100-189): the 5-layout pairwise matrix of
+{PPO_SP, PPO_BC, BC human-proxy, greedy} agents, BOTH seat orders, plus a
+small-multiples heatmap and a markdown summary. The PPO_BC column is the
+reference protocol's headline pairing: PPO trained WITH a BC partner,
+paired against BC at test time (evaluate.py:100-123).
 
 Inputs are the checkpoints produced by:
-    for L in ...: python scripts/train_ppo.py --layout $L --out runs/eval_artifact/ppo_sp_$L
-    python scripts/train_bc_proxy.py --out runs/eval_artifact
+    for L in ...: python scripts/train_ppo.py --layout $L --out <art>/ppo_sp_$L
+    for L in ...: python scripts/train_ppo.py --layout $L \
+        --bc-model <art>/bc_proxy_$L --bc-schedule 0:0,4e6:1 \
+        --out <art>/ppo_bc_$L
+    python scripts/train_bc_proxy.py --out <art>
 
-Outputs: EVAL_MATRIX.md, eval_matrix_results.json, eval_matrix.png at the
-repo root.
+Outputs (new dynamics): EVAL_MATRIX.md, eval_matrix_results.json,
+eval_matrix.png at the repo root. With --old-dynamics (the reference's
+published protocol evaluates with old_dynamics=True, evaluate.py:105):
+EVAL_MATRIX_OLD_DYNAMICS.md etc., reading checkpoints trained with
+--old-dynamics.
 
     python scripts/make_eval_artifact.py --games 10 --platform cpu
+    python scripts/make_eval_artifact.py --games 10 --old-dynamics \
+        --art-dir runs/eval_artifact_old
 """
 
 import argparse
@@ -28,7 +38,7 @@ LAYOUTS = [
     "counter_circuit_o_1order",
 ]
 
-ART = "runs/eval_artifact"
+KINDS = ["PPO_SP", "PPO_BC", "BC", "greedy"]
 
 
 def main():
@@ -37,12 +47,22 @@ def main():
     ap.add_argument("--horizon", type=int, default=400)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--layouts", nargs="+", default=LAYOUTS)
+    ap.add_argument("--art-dir", default="runs/eval_artifact")
+    ap.add_argument("--old-dynamics", action="store_true")
+    ap.add_argument(
+        "--suffix", default=None,
+        help="output-file suffix; default '' or '_OLD_DYNAMICS'",
+    )
     args = ap.parse_args()
 
     if args.platform:
         from overcooked_ai_tpu.utils.platform import force_platform
 
         force_platform(args.platform)
+
+    suffix = args.suffix
+    if suffix is None:
+        suffix = "_OLD_DYNAMICS" if args.old_dynamics else ""
 
     import numpy as np
 
@@ -51,13 +71,16 @@ def main():
     from overcooked_ai_tpu.core.layout import from_layout_name
     from overcooked_ai_tpu.planning.tables import build_motion_tables
 
+    overrides = {"old_dynamics": True} if args.old_dynamics else {}
+    art = args.art_dir
     results = {}
     for layout_name in args.layouts:
-        spec = from_layout_name(layout_name)
+        spec = from_layout_name(layout_name, **overrides)
         tables = build_motion_tables(spec.layout.terrain)
         kinds = {
-            "PPO_SP": f"ppo:{ART}/ppo_sp_{layout_name}",
-            "BC": f"bc:{ART}/bc_proxy_{layout_name}",
+            "PPO_SP": f"ppo:{art}/ppo_sp_{layout_name}",
+            "PPO_BC": f"ppo:{art}/ppo_bc_{layout_name}",
+            "BC": f"bc:{art}/bc_proxy_{layout_name}",
             "greedy": "greedy",
         }
         agents = {k: build_agent(v, spec, tables) for k, v in kinds.items()}
@@ -86,12 +109,13 @@ def main():
                 )
         results[layout_name] = lay_res
 
-    with open("eval_matrix_results.json", "w") as f:
+    with open(f"eval_matrix_results{suffix.lower()}.json", "w") as f:
         json.dump(
             {
-                "protocol": "reference evaluate.py:116-189 analogue: "
+                "protocol": "reference evaluate.py:100-189 analogue: "
                 "mean per-game sparse reward, horizon 400, both seat "
                 "orders (A+B and B+A rows)",
+                "dynamics": "old" if args.old_dynamics else "new",
                 "games_per_pair": args.games,
                 "results": results,
             },
@@ -99,27 +123,37 @@ def main():
             indent=1,
         )
 
-    _write_markdown(results, args.games)
-    _plot(results)
-    print("wrote EVAL_MATRIX.md, eval_matrix_results.json, eval_matrix.png")
+    _write_markdown(results, args.games, suffix, args.old_dynamics, art)
+    _plot(results, suffix)
+    print(
+        f"wrote EVAL_MATRIX{suffix}.md, "
+        f"eval_matrix_results{suffix.lower()}.json, "
+        f"eval_matrix{suffix.lower()}.png"
+    )
 
 
-def _write_markdown(results, games):
-    kinds = ["PPO_SP", "BC", "greedy"]
+def _write_markdown(results, games, suffix, old_dynamics, art):
+    dyn = (
+        "old (auto-cook) dynamics -- the reference's published protocol "
+        "(`evaluate.py:105` sets `old_dynamics=True`)"
+        if old_dynamics
+        else "current dynamics (explicit INTERACT starts cooking)"
+    )
     lines = [
-        "# Canonical evaluation matrix",
+        f"# Canonical evaluation matrix{' (old dynamics)' if old_dynamics else ''}",
         "",
         "Mean per-game sparse reward over "
         f"{games} games (horizon 400, seed 0), both seat orders -- the "
         "reference's 5-layout eval protocol "
-        "(`human_aware_rl/ppo/evaluate.py:116-189`). Agents: `PPO_SP` = "
-        "self-play PPO at the reference production config "
-        "(`runs/eval_artifact/ppo_sp_*`, 2500 iters x 12k steps); `BC` = "
-        "behavior-cloned greedy human proxy (the reference ships no real "
-        "human data; see `scripts/train_bc_proxy.py`); `greedy` = the "
-        "scripted GreedyHumanModel. Dynamics: current (the reference "
-        "evaluates its legacy 2019 agents with `old_dynamics=True`; both "
-        "dynamics are supported and parity-tested here).",
+        "(`human_aware_rl/ppo/evaluate.py:100-189`). Agents: `PPO_SP` = "
+        "self-play PPO at the reference production config with the "
+        "entropy floor annealed to 0.01; `PPO_BC` = PPO trained with the "
+        "BC proxy as partner (bc_factor 0 -> 1 over 4M steps, the "
+        "reference protocol's headline human-aware agent); `BC` = "
+        "behavior-cloned human proxy fit to mixed-partner greedy "
+        "demonstrations (the reference ships no real human data; see "
+        "`scripts/train_bc_proxy.py`); `greedy` = the scripted "
+        f"GreedyHumanModel. Checkpoints: `{art}`. Dynamics: {dyn}.",
         "",
         "Row = seat 0, column = seat 1 (cell: mean ± std).",
         "",
@@ -127,23 +161,25 @@ def _write_markdown(results, games):
     for layout, lay_res in results.items():
         lines.append(f"### {layout}")
         lines.append("")
-        lines.append("| seat0 \\ seat1 | " + " | ".join(kinds) + " |")
-        lines.append("|---|" + "---|" * len(kinds))
-        for a in kinds:
+        lines.append("| seat0 \\ seat1 | " + " | ".join(KINDS) + " |")
+        lines.append("|---|" + "---|" * len(KINDS))
+        for a in KINDS:
             row = [
                 f"{lay_res[f'{a}+{b}']['mean']} ± "
                 f"{lay_res[f'{a}+{b}']['std']}"
-                for b in kinds
+                for b in KINDS
             ]
             lines.append(f"| **{a}** | " + " | ".join(row) + " |")
         lines.append("")
-    lines.append("![pairwise matrix heatmaps](eval_matrix.png)")
+    lines.append(
+        f"![pairwise matrix heatmaps](eval_matrix{suffix.lower()}.png)"
+    )
     lines.append("")
-    with open("EVAL_MATRIX.md", "w") as f:
+    with open(f"EVAL_MATRIX{suffix}.md", "w") as f:
         f.write("\n".join(lines))
 
 
-def _plot(results):
+def _plot(results, suffix):
     """Small-multiples heatmap: magnitude -> ONE sequential hue
     (light->dark), direct value labels in text ink, recessive axes."""
     import matplotlib
@@ -152,9 +188,8 @@ def _plot(results):
     import matplotlib.pyplot as plt
     import numpy as np
 
-    kinds = ["PPO_SP", "BC", "greedy"]
     n = len(results)
-    fig, axes = plt.subplots(1, n, figsize=(3.1 * n, 3.4))
+    fig, axes = plt.subplots(1, n, figsize=(3.4 * n, 3.8))
     if n == 1:
         axes = [axes]
     vmax = max(
@@ -162,19 +197,19 @@ def _plot(results):
     ) or 1.0
     for ax, (layout, lay_res) in zip(axes, results.items()):
         m = np.array(
-            [[lay_res[f"{a}+{b}"]["mean"] for b in kinds] for a in kinds]
+            [[lay_res[f"{a}+{b}"]["mean"] for b in KINDS] for a in KINDS]
         )
         ax.imshow(m, cmap="Blues", vmin=0, vmax=vmax)
-        for i in range(len(kinds)):
-            for j in range(len(kinds)):
+        for i in range(len(KINDS)):
+            for j in range(len(KINDS)):
                 frac = m[i, j] / vmax
                 ax.text(
                     j, i, f"{m[i, j]:.0f}",
-                    ha="center", va="center", fontsize=11,
+                    ha="center", va="center", fontsize=10,
                     color="#f0f0f4" if frac > 0.6 else "#26262c",
                 )
-        ax.set_xticks(range(len(kinds)), kinds, fontsize=8)
-        ax.set_yticks(range(len(kinds)), kinds, fontsize=8)
+        ax.set_xticks(range(len(KINDS)), KINDS, fontsize=7)
+        ax.set_yticks(range(len(KINDS)), KINDS, fontsize=7)
         ax.set_title(layout, fontsize=10)
         ax.set_xlabel("seat 1", fontsize=8, color="#555")
         if ax is axes[0]:
@@ -185,7 +220,7 @@ def _plot(results):
         "Mean sparse reward per game -- pairwise agent matrix", fontsize=12
     )
     fig.tight_layout()
-    fig.savefig("eval_matrix.png", dpi=130)
+    fig.savefig(f"eval_matrix{suffix.lower()}.png", dpi=130)
 
 
 if __name__ == "__main__":

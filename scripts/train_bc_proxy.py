@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed,
-                epsilon=0.1):
+                epsilon=0.1, old_dynamics=False):
     """Fit a BC clone on MIXED-PARTNER greedy demonstrations.
 
     A clone trained only on greedy+greedy self-play mirror-deadlocks in
@@ -62,7 +62,8 @@ def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed,
         train_bc_model,
     )
 
-    spec = from_layout_name(layout_name)
+    overrides = {"old_dynamics": True} if old_dynamics else {}
+    spec = from_layout_name(layout_name, **overrides)
     mt = build_motion_tables(spec.layout.terrain)
     fa = build_first_action_table(spec.layout.terrain)
     tables = GreedyTables(jnp.asarray(mt.feature_cost), jnp.asarray(fa))
@@ -120,6 +121,7 @@ def train_proxy(layout_name, out_dir, num_games, horizon, epochs, seed,
         cfg,
         metadata={
             "layout": layout_name,
+            "old_dynamics": old_dynamics,
             "source": "mixed-partner greedy demonstrations "
             f"({num_games} self-play + 4x{half} mixed games x {horizon} "
             f"steps, epsilon={epsilon}; partners: boltzmann, random)",
@@ -158,6 +160,10 @@ def main():
         help="random-action rate in the cloned behavior (0 = pure greedy)",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--old-dynamics", action="store_true",
+        help="demonstrate + clone under old (auto-cook) dynamics",
+    )
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -169,7 +175,7 @@ def main():
     for layout in args.layouts:
         train_proxy(
             layout, args.out, args.num_games, args.horizon, args.epochs,
-            args.seed, epsilon=args.epsilon,
+            args.seed, epsilon=args.epsilon, old_dynamics=args.old_dynamics,
         )
 
 

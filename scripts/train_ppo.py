@@ -61,6 +61,12 @@ def main():
         "(reference reward_shaping_horizon, default inf = no anneal)",
     )
     ap.add_argument("--use-phi", action="store_true")
+    ap.add_argument(
+        "--phi-event-mix", action="store_true",
+        help="with --use-phi: dense reward = delta-phi + event shaping "
+        "(the working production phi recipe; pure delta-phi is dead at "
+        "every lr tested, see PHI_STUDY.md)",
+    )
     ap.add_argument("--use-lstm", action="store_true")
     ap.add_argument("--old-dynamics", action="store_true")
     ap.add_argument("--out", default=None)
@@ -126,6 +132,8 @@ def main():
         sched["entropy_coeff_horizon"] = args.entropy_horizon
     if args.shaping_horizon is not None:
         sched["reward_shaping_horizon"] = args.shaping_horizon
+    if args.phi_event_mix:
+        sched["phi_event_mix"] = True
     if args.local_testing:
         config = PPOConfig(
             num_envs=2,

@@ -18,17 +18,17 @@ def test_ppo_learns_shaped_reward():
     spec = from_layout_name("cramped_room")
     cfg = PPOConfig(
         num_envs=8,
-        horizon=100,
-        sgd_minibatch_size=400,
+        horizon=80,
+        sgd_minibatch_size=320,
         num_sgd_iter=8,
         entropy_coeff_start=0.0,
         entropy_coeff_end=0.0,
         lr=5e-3,
     )
-    ts, hist = train(spec, cfg, num_iterations=15, seed=0)
-    first5 = np.mean([float(m.episode_shaped_reward) for m in hist[:5]])
-    last5 = np.mean([float(m.episode_shaped_reward) for m in hist[-5:]])
-    assert last5 > first5, (first5, last5)
+    ts, hist = train(spec, cfg, num_iterations=12, seed=0)
+    first3 = np.mean([float(m.episode_shaped_reward) for m in hist[:3]])
+    last3 = np.mean([float(m.episode_shaped_reward) for m in hist[-3:]])
+    assert last3 > first3, (first3, last3)
     assert float(hist[-1].entropy) < float(hist[0].entropy)
 
 
@@ -82,8 +82,11 @@ def test_ppo_sp_no_phi_threshold():
     ppo_rllib_client.py:408-411).
 
     In the DEFAULT suite (not gated behind OVERCOOKED_SLOW_TESTS): it is
-    the cheapest reference CI threshold (~3 min on CPU) and the only
-    always-on end-to-end learning guarantee."""
+    the cheapest reference CI threshold and the only always-on end-to-end
+    learning guarantee. Budget: 15 iterations (~90 s cold CPU) -- the
+    metric clears the >=5 bar from iteration 1 and the last-5 mean at 15
+    iters is ~16, a 3x margin (measured; 30 iters only raises it to ~22
+    for double the wall-clock)."""
     spec = from_layout_name("cramped_room")
     cfg = PPOConfig(
         num_envs=2,
@@ -94,7 +97,7 @@ def test_ppo_sp_no_phi_threshold():
         entropy_coeff_end=0.0,
         lr=5e-3,
     )
-    ts, hist = train(spec, cfg, num_iterations=30, seed=0)
+    ts, hist = train(spec, cfg, num_iterations=15, seed=0)
     last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 5, last5
 

@@ -51,13 +51,13 @@ def test_pool_ppo_learns():
     """Shaped reward increases when training across a generated pool."""
     specs = _pool(3, seed=1)
     cfg = PPOConfig(
-        num_envs=8, horizon=100, sgd_minibatch_size=400, num_sgd_iter=8,
+        num_envs=6, horizon=80, sgd_minibatch_size=240, num_sgd_iter=4,
         entropy_coeff_start=0.0, entropy_coeff_end=0.0, lr=5e-3,
     )
-    ts, hist = train(specs, cfg, num_iterations=12, seed=0)
-    first4 = np.mean([float(m.episode_shaped_reward) for m in hist[:4]])
-    last4 = np.mean([float(m.episode_shaped_reward) for m in hist[-4:]])
-    assert last4 > first4, (first4, last4)
+    ts, hist = train(specs, cfg, num_iterations=8, seed=0)
+    first3 = np.mean([float(m.episode_shaped_reward) for m in hist[:3]])
+    last3 = np.mean([float(m.episode_shaped_reward) for m in hist[-3:]])
+    assert last3 > first3, (first3, last3)
 
 
 def test_pool_phi_runs():
