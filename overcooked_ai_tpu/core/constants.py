@@ -114,3 +114,63 @@ BASE_REW_SHAPING_PARAMS = {
 }
 
 MAX_NUM_INGREDIENTS = 3
+
+
+# --- Action/Direction micro-utilities over the INDEX vocabulary ---
+# (reference actions.py:27-131; there they operate on tuple/str actions,
+# here on the int indices that the whole framework speaks)
+
+ACTION_TO_CHAR = {0: "↑", 1: "↓", 2: "→", 3: "←", 4: "stay", 5: "interact"}
+NUM_ACTIONS = 6
+MOTION_ACTIONS = (0, 1, 2, 3, 4)  # directions + stay (actions.py:57)
+
+
+def get_adjacent_directions(direction: int):
+    """Directions within 90 degrees of `direction` (actions.py:27-36)."""
+    if direction in (DIR_NORTH, DIR_SOUTH):
+        return [DIR_EAST, DIR_WEST]
+    if direction in (DIR_EAST, DIR_WEST):
+        return [DIR_NORTH, DIR_SOUTH]
+    raise ValueError(f"Invalid direction: {direction}")
+
+
+def move_in_direction(point, direction: int):
+    """One step from (x, y) along a motion action (actions.py:69-80)."""
+    assert direction in MOTION_ACTIONS
+    dx, dy = DIR_VECTORS[direction]
+    return (point[0] + int(dx), point[1] + int(dy))
+
+
+def determine_action_for_change_in_pos(old_pos, new_pos) -> int:
+    """Action index that moves old_pos -> new_pos (actions.py:82-91)."""
+    if tuple(old_pos) == tuple(new_pos):
+        return ACTION_STAY
+    delta = (new_pos[0] - old_pos[0], new_pos[1] - old_pos[1])
+    return TUPLE_TO_DIRECTION[delta]
+
+
+def to_char(action: int) -> str:
+    """actions.py:119-122."""
+    return ACTION_TO_CHAR[int(action)]
+
+
+def joint_action_to_char(joint_action):
+    """actions.py:124-127."""
+    return tuple(to_char(a) for a in joint_action)
+
+
+def uniform_probs_over_actions():
+    """actions.py:129-131."""
+    return np.ones(NUM_ACTIONS) / NUM_ACTIONS
+
+
+def sample_action(rng, action_probs) -> int:
+    """Sample an action index from a distribution (actions.py:93-97;
+    takes an explicit numpy Generator/RandomState instead of global
+    np.random)."""
+    return int(rng.choice(NUM_ACTIONS, p=np.asarray(action_probs)))
+
+
+def argmax_action(action_probs) -> int:
+    """actions.py:99-101."""
+    return int(np.argmax(np.asarray(action_probs)))

@@ -19,7 +19,11 @@ from overcooked_ai_tpu.planning.tables import build_motion_tables
 
 ROOT = os.path.join(os.path.dirname(__file__), "..")
 PPO_DIR = os.path.join(ROOT, "runs/eval_artifact/ppo_sp_cramped_room")
+PPO_BC_DIR = os.path.join(ROOT, "runs/eval_artifact/ppo_bc_cramped_room")
 BC_DIR = os.path.join(ROOT, "runs/eval_artifact/bc_proxy_cramped_room")
+OLD_PPO_DIR = os.path.join(
+    ROOT, "runs/eval_artifact_old/ppo_sp_cramped_room"
+)
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(PPO_DIR), reason="eval artifact not present"
@@ -47,3 +51,38 @@ def test_committed_checkpoints_load_and_score():
     )
     per_game = np.asarray(traj["sparse"]).sum(axis=(0, 1))
     assert per_game.mean() > 0, per_game  # BC pair cooks something
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(PPO_BC_DIR), reason="PPO_BC artifact not present"
+)
+def test_committed_ppo_bc_checkpoint_scores_with_bc():
+    """The headline protocol agent (PPO trained with a BC partner) loads
+    and scores when PAIRED WITH BC -- the pairing it was trained for
+    (reference evaluate.py:100-123)."""
+    spec = from_layout_name("cramped_room")
+    tables = build_motion_tables(spec.layout.terrain)
+    ppo_bc = build_agent(f"ppo:{PPO_BC_DIR}", spec, tables)
+    bc = build_agent(f"bc:{BC_DIR}", spec, tables)
+    traj = run_agent_pair(
+        spec, [ppo_bc, bc], num_games=4, horizon=400, seed=0,
+        greedy_carry=True,
+    )
+    per_game = np.asarray(traj["sparse"]).sum(axis=(0, 1))
+    assert per_game.mean() >= 60, per_game
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(OLD_PPO_DIR),
+    reason="old-dynamics artifact not present",
+)
+def test_committed_old_dynamics_checkpoint_loads():
+    spec = from_layout_name("cramped_room", old_dynamics=True)
+    tables = build_motion_tables(spec.layout.terrain)
+    ppo = build_agent(f"ppo:{OLD_PPO_DIR}", spec, tables)
+    traj = run_agent_pair(
+        spec, [ppo, ppo], num_games=4, horizon=400, seed=0,
+        greedy_carry=True,
+    )
+    per_game = np.asarray(traj["sparse"]).sum(axis=(0, 1))
+    assert per_game.mean() >= 60, per_game

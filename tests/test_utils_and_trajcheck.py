@@ -144,3 +144,26 @@ def test_trajectory_utils_parity():
     # stay agents are stuck 100% of the measurable window
     stuck = proportion_stuck_time(ref, agent_idx=0, stuck_time=3)
     assert stuck == 1.0
+
+
+def test_action_direction_micro_utils():
+    """Index-vocabulary ports of the reference Action/Direction helpers
+    (reference actions.py:27-131)."""
+    import numpy as np
+
+    from overcooked_ai_tpu.core import constants as C
+
+    assert C.move_in_direction((2, 3), C.DIR_NORTH) == (2, 2)
+    assert C.move_in_direction((2, 3), C.ACTION_STAY) == (2, 3)
+    assert C.determine_action_for_change_in_pos((1, 1), (1, 2)) == C.DIR_SOUTH
+    assert C.determine_action_for_change_in_pos((1, 1), (1, 1)) == (
+        C.ACTION_STAY
+    )
+    assert C.get_adjacent_directions(C.DIR_NORTH) == [C.DIR_EAST, C.DIR_WEST]
+    assert C.get_adjacent_directions(C.DIR_WEST) == [C.DIR_NORTH, C.DIR_SOUTH]
+    assert C.joint_action_to_char([0, 5]) == ("↑", "interact")
+    probs = C.uniform_probs_over_actions()
+    assert probs.shape == (6,) and abs(probs.sum() - 1) < 1e-9
+    rng = np.random.default_rng(0)
+    assert C.sample_action(rng, probs) in range(6)
+    assert C.argmax_action([0, 0, 1, 0, 0, 0]) == 2
