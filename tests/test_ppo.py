@@ -25,7 +25,7 @@ def test_ppo_learns_shaped_reward():
         entropy_coeff_end=0.0,
         lr=5e-3,
     )
-    ts, hist = train(spec, cfg, num_iterations=12, seed=0)
+    ts, hist = train(spec, cfg, num_iterations=10, seed=0)
     first3 = np.mean([float(m.episode_shaped_reward) for m in hist[:3]])
     last3 = np.mean([float(m.episode_shaped_reward) for m in hist[-3:]])
     assert last3 > first3, (first3, last3)
@@ -83,9 +83,9 @@ def test_ppo_sp_no_phi_threshold():
 
     In the DEFAULT suite (not gated behind OVERCOOKED_SLOW_TESTS): it is
     the cheapest reference CI threshold and the only always-on end-to-end
-    learning guarantee. Budget: 15 iterations (~90 s cold CPU) -- the
-    metric clears the >=5 bar from iteration 1 and the last-5 mean at 15
-    iters is ~16, a 3x margin (measured; 30 iters only raises it to ~22
+    learning guarantee. Budget: 12 iterations (~75 s CPU) -- the
+    metric clears the >=5 bar from iteration 1 and the last-5 mean at 12
+    iters is ~15, a 3x margin (measured; 30 iters only raises it to ~22
     for double the wall-clock)."""
     spec = from_layout_name("cramped_room")
     cfg = PPOConfig(
@@ -97,7 +97,7 @@ def test_ppo_sp_no_phi_threshold():
         entropy_coeff_end=0.0,
         lr=5e-3,
     )
-    ts, hist = train(spec, cfg, num_iterations=15, seed=0)
+    ts, hist = train(spec, cfg, num_iterations=12, seed=0)
     last5 = np.mean([float(m.episode_total_reward) for m in hist[-5:]])
     assert last5 >= 5, last5
 
