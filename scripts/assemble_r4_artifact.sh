@@ -20,8 +20,14 @@ L5="cramped_room asymmetric_advantages coordination_ring forced_coordination cou
 
 rm -rf runs/eval_artifact runs/eval_artifact_old
 copy_last runs/r4_probe_cramped runs/eval_artifact/ppo_sp_cramped_room
+# counter_circuit needs the slow entropy anneal (NOTES.md) -- v2 run
+copy_last runs/r4_sp_counter_circuit_v2 \
+  runs/eval_artifact/ppo_sp_counter_circuit_o_1order
 for L in $L5; do
-  [ "$L" = cramped_room ] || copy_last "runs/r4_sp_$L" "runs/eval_artifact/ppo_sp_$L"
+  case "$L" in
+    cramped_room|counter_circuit_o_1order) ;;  # ppo_sp copied above
+    *) copy_last "runs/r4_sp_$L" "runs/eval_artifact/ppo_sp_$L";;
+  esac
   copy_last "runs/r4_bcppo_$L" "runs/eval_artifact/ppo_bc_$L"
   cp -r "runs/r4_bc/bc_proxy_$L" "runs/eval_artifact/bc_proxy_$L"
   copy_last "runs/r4_old_sp_$L" "runs/eval_artifact_old/ppo_sp_$L"
