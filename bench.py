@@ -30,17 +30,30 @@ from overcooked_ai_tpu.core.layout import from_layout_name
 
 BASELINE_STEPS_PER_SEC = 50e6
 BATCH = 16384
-NUM_STEPS = 400
+# Steps PER TIMED CALL. The rollout kernel computes at >1B env-steps/s,
+# so at 400 steps/call (33 ms of r3-era wall) the measurement is
+# dominated by fixed per-dispatch latency through the remote-device
+# tunnel -- and after a 2026-08 stack upgrade that latency became both
+# larger and noisy (50-300 ms), making 400-step timings bounce between
+# 47M and 209M run-to-run. 4000 steps/call amortizes the dispatch to
+# <10% and measures the program's sustained simulation rate (the
+# quantity that matters for training rollouts, which batch far more
+# than 400 steps of work per dispatch). episode semantics are
+# unchanged: the kernel auto-resets internally at the horizon.
+NUM_STEPS = 20000  # rollout kernel: ~270 ms/call at its ~1.2B steps/s
+NUM_STEPS_TRAIN = 4000  # train path: ~200 ms/call at its ~330M steps/s
 SWEEP_BLOCK_B = (512, 1024, 2048)
 REPS = 5
+WARMUP = 3  # post-compile executions discarded (tunnel cache warm-up)
 
 
 def _median_time(fn, state):
-    state = fn(state, 0)  # compile + warmup
+    for w in range(WARMUP):  # compile + tunnel warm-up
+        state = fn(state, w)
     times = []
     for r in range(REPS):
         t0 = time.perf_counter()
-        state = fn(state, r + 1)
+        state = fn(state, WARMUP + r)
         times.append(time.perf_counter() - t0)
     return sorted(times)[len(times) // 2], state
 
@@ -64,14 +77,14 @@ def _bench_train_path(spec, state, block_b):
 
     def run(st, seed):
         fs, totals = train_rollout_random(
-            spec, st, jax.random.PRNGKey(seed), num_steps=NUM_STEPS,
+            spec, st, jax.random.PRNGKey(seed), num_steps=NUM_STEPS_TRAIN,
             block_b=block_b,
         )
         int(totals["obs_checksum"])  # materialize through the obs output
         return fs
 
     dt, state = _median_time(run, state)
-    return BATCH * NUM_STEPS / dt, state
+    return BATCH * NUM_STEPS_TRAIN / dt, state
 
 
 def _bench_xla(layout, state):
