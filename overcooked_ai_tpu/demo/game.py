@@ -273,6 +273,14 @@ def npc_from_kind(kind: str, layout_name: str, seat: int = 1):
     NPCs). Returns policy(state_dict, seat) -> action int."""
     if kind == "greedy":
         return greedy_npc(layout_name)
+    if kind.startswith("artifact:"):
+        # layout-generic alias resolving to the committed eval-artifact
+        # checkpoint for THE GAME'S layout: artifact:ppo_bc ->
+        # ppo:runs/eval_artifact/ppo_bc_<layout>; artifact:bc_proxy ->
+        # bc:runs/eval_artifact/bc_proxy_<layout>
+        name = kind.split(":", 1)[1]
+        prefix = "bc" if name == "bc_proxy" else "ppo"
+        kind = f"{prefix}:runs/eval_artifact/{name}_{layout_name}"
 
     import jax
     import jax.numpy as jnp

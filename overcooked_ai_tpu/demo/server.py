@@ -146,7 +146,7 @@ def experiment_csv(participant):
 
 def _tick_loop(game_id):
     """Per-game loop thread (reference play_game, app.py:618-658)."""
-    while True:
+    while not _shutting_down:
         with _games_lock:
             game = _games.get(game_id)
         if game is None:
@@ -155,6 +155,29 @@ def _tick_loop(game_id):
         if out is None or out["done"]:
             return
         time.sleep(1.0 / TICK_FPS)
+
+
+_shutting_down = False
+
+
+def _force_end_all_games():
+    """atexit: end every live game so loop threads stop ticking (reference
+    on_exit cleanup, app.py:600-610). Without this a daemon loop thread
+    can be mid-jax-dispatch while the runtime tears down at interpreter
+    exit, aborting the process (observed: pytest exiting 134 after a demo
+    test leaves a long game running)."""
+    global _shutting_down
+    _shutting_down = True
+    with _games_lock:
+        for g in _games.values():
+            g.active = False
+        _games.clear()
+    time.sleep(2.5 / TICK_FPS)  # let loop threads notice and return
+
+
+import atexit  # noqa: E402
+
+atexit.register(_force_end_all_games)
 
 
 def _reap_finished_locked():

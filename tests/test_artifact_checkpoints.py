@@ -86,3 +86,22 @@ def test_committed_old_dynamics_checkpoint_loads():
     )
     per_game = np.asarray(traj["sparse"]).sum(axis=(0, 1))
     assert per_game.mean() >= 60, per_game
+
+
+def test_artifact_alias_npc():
+    """`artifact:<name>` NPC kinds resolve to the committed eval-artifact
+    checkpoint for the game's layout (the demo lobby's layout-generic
+    trained partners; demo/game.py npc_from_kind)."""
+    import json
+
+    from overcooked_ai_tpu.demo.game import DemoGame, npc_from_kind
+
+    policy = npc_from_kind("artifact:ppo_bc", "cramped_room")
+    game = DemoGame(layout_name="cramped_room",
+                    npc_policies={1: policy}, game_time=300)
+    game.activate()
+    for _ in range(5):
+        out = game.tick()
+    assert out is not None
+    acts = [json.loads(r["joint_action"])[1] for r in game.get_data()]
+    assert all(0 <= a <= 5 for a in acts)
