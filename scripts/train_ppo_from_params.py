@@ -31,6 +31,16 @@ def main():
     # lr 5e-3, entropy 0.02 -> 5e-5, shaping horizon 1e6 (:124-179)
     ap.add_argument("--num-envs", type=int, default=250)  # x400 = 100k batch
     ap.add_argument("--lr", type=float, default=5e-3)
+    ap.add_argument(
+        "--shaping-horizon", type=float, default=1e6,
+        help="reward-shaping anneal horizon in env steps. The reference's "
+        "default (1e6, ppo_rllib_from_params_client.py:270) anneals to "
+        "ZERO within 10 iterations at the production batch (100k "
+        "steps/iter), leaving only the (still ~0) sparse signal -- its CI "
+        "runs never reach 1e6 steps so the trap never fires there. Use "
+        "~2e7 (half a 400-iter run) for a from-params run that learns",
+    )
+    ap.add_argument("--entropy-horizon", type=float, default=3e5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use-phi", action="store_true")
     ap.add_argument("--use-lstm", action="store_true")
@@ -75,10 +85,10 @@ def main():
             num_sgd_iter=8,
             entropy_coeff_start=0.02,
             entropy_coeff_end=5e-5,
-            entropy_coeff_horizon=3e5,
+            entropy_coeff_horizon=args.entropy_horizon,
             lr=args.lr,
             use_phi=args.use_phi,
-            reward_shaping_horizon=1e6,
+            reward_shaping_horizon=args.shaping_horizon,
         )
     else:
         config = PPOConfig(
@@ -86,10 +96,10 @@ def main():
             sgd_minibatch_size=12500,  # x2 agents = 25000 samples
             entropy_coeff_start=0.02,
             entropy_coeff_end=5e-5,
-            entropy_coeff_horizon=3e5,
+            entropy_coeff_horizon=args.entropy_horizon,
             lr=args.lr,
             use_phi=args.use_phi,
-            reward_shaping_horizon=1e6,
+            reward_shaping_horizon=args.shaping_horizon,
         )
 
     potential_fn = None
