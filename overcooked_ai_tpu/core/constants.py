@@ -121,7 +121,6 @@ MAX_NUM_INGREDIENTS = 3
 # here on the int indices that the whole framework speaks)
 
 ACTION_TO_CHAR = {0: "↑", 1: "↓", 2: "→", 3: "←", 4: "stay", 5: "interact"}
-NUM_ACTIONS = 6
 MOTION_ACTIONS = (0, 1, 2, 3, 4)  # directions + stay (actions.py:57)
 
 

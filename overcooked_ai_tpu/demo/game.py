@@ -16,6 +16,7 @@ feed the BC pipeline directly.
 from __future__ import annotations
 
 import json
+import os
 import queue
 import threading
 import time
@@ -280,7 +281,13 @@ def npc_from_kind(kind: str, layout_name: str, seat: int = 1):
         # bc:runs/eval_artifact/bc_proxy_<layout>
         name = kind.split(":", 1)[1]
         prefix = "bc" if name == "bc_proxy" else "ppo"
-        kind = f"{prefix}:runs/eval_artifact/{name}_{layout_name}"
+        path = f"runs/eval_artifact/{name}_{layout_name}"
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"no trained {name} checkpoint for layout "
+                f"'{layout_name}' (expected {path})"
+            )
+        kind = f"{prefix}:{path}"
 
     import jax
     import jax.numpy as jnp

@@ -69,6 +69,7 @@ _experiments_lock = threading.Lock()
 # hard cap on retained rows per participant: a predefined experiment is
 # ~5 rounds x 400 ticks; 100k bounds memory against runaway clients
 _MAX_EXPERIMENT_ROWS = 100_000
+_MAX_EXPERIMENT_PARTICIPANTS = 1_000  # bound memory across distinct ids
 
 
 def _safe_participant(raw) -> str:
@@ -320,13 +321,27 @@ class Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
             return
         if url.path == "/api/config":
-            # deploy config for the frontend (layout list, limits)
+            # deploy config for the frontend (layout list, limits) plus
+            # per-layout trained-artifact availability so the NPC
+            # dropdown only offers checkpoints that actually exist
+            artifacts = {
+                lay: [
+                    name
+                    for name in ("ppo_sp", "ppo_bc", "bc_proxy")
+                    if os.path.isdir(
+                        os.path.join("runs", "eval_artifact",
+                                     f"{name}_{lay}")
+                    )
+                ]
+                for lay in LAYOUTS
+            }
             return self._json(
                 {
                     "layouts": LAYOUTS,
                     "max_games": MAX_GAMES,
                     "max_game_length": CONFIG.get("MAX_GAME_LENGTH", 120),
                     "predefined": CONFIG.get("predefined", {}),
+                    "artifacts": artifacts,
                 }
             )
         if url.path == "/api/debug":
@@ -405,11 +420,19 @@ class Handler(BaseHTTPRequestHandler):
                 getattr(game, "partner_kind", "greedy"),
             )
             with _experiments_lock:
+                if (participant not in _experiments
+                        and len(_experiments) >= _MAX_EXPERIMENT_PARTICIPANTS):
+                    return self._json(
+                        {"error": "participant store full"}, 503
+                    )
                 store = _experiments.setdefault(participant, [])
-                store.extend(
-                    rows[: max(0, _MAX_EXPERIMENT_ROWS - len(store))]
-                )
-            return self._json({"ok": True, "rows": len(rows)})
+                kept = rows[: max(0, _MAX_EXPERIMENT_ROWS - len(store))]
+                store.extend(kept)
+            return self._json({
+                "ok": True,
+                "rows": len(kept),
+                "truncated": len(kept) < len(rows),
+            })
         if url.path == "/api/action":
             try:
                 action = int(body["action"])
@@ -428,7 +451,8 @@ def main(port=8000):
     server.serve_forever()
 
 
-if __name__ == "__main__":
+def cli():
+    """Console entry point (`overcooked-demo`)."""
     import argparse
 
     from overcooked_ai_tpu.utils.platform import force_platform
@@ -443,3 +467,7 @@ if __name__ == "__main__":
     args = ap.parse_args()
     force_platform(args.platform)
     main(args.port)
+
+
+if __name__ == "__main__":
+    cli()

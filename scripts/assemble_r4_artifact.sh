@@ -9,7 +9,7 @@ cd "$(dirname "$0")/.."
 
 copy_last() {  # copy_last <src_run_dir> <dst_dir>
   src=$1; dst=$2
-  last=$(ls -d "$src"/step_* | sort -t_ -k2 -n | tail -1)
+  last=$(ls -d "$src"/step_* | awk -F_ '{print $NF, $0}' | sort -n | tail -1 | cut -d" " -f2-)
   mkdir -p "$dst"
   rm -rf "$dst"/step_* "$dst"/config.json "$dst"/metrics.jsonl
   cp -r "$last" "$dst/"
