@@ -53,6 +53,12 @@ def main():
         "--suffix", default=None,
         help="output-file suffix; default '' or '_OLD_DYNAMICS'",
     )
+    ap.add_argument(
+        "--merge", action="store_true",
+        help="re-evaluate only --layouts and merge into the existing "
+        "results JSON (other layouts' cells kept; same seeds => they "
+        "would reproduce identically)",
+    )
     args = ap.parse_args()
 
     if args.platform:
@@ -109,6 +115,17 @@ def main():
                 )
         results[layout_name] = lay_res
 
+    if args.merge:
+        with open(f"eval_matrix_results{suffix.lower()}.json") as f:
+            prev = json.load(f)["results"]
+        prev.update(results)
+        # keep canonical layout order
+        results = {
+            k: prev[k]
+            for k in list(LAYOUTS) + [x for x in prev if x not in LAYOUTS]
+            if k in prev
+        }
+
     with open(f"eval_matrix_results{suffix.lower()}.json", "w") as f:
         json.dump(
             {
@@ -156,6 +173,17 @@ def _write_markdown(results, games, suffix, old_dynamics, art):
         f"GreedyHumanModel. Checkpoints: `{art}`. Dynamics: {dyn}.",
         "",
         "Row = seat 0, column = seat 1 (cell: mean ± std).",
+        "",
+        "> **Self-pair pathology note:** PPO_BC×PPO_BC cells can hit an "
+        "exact 0.0 on layouts where training against the BC partner let "
+        "the policy delegate one pipeline role entirely (traced: on "
+        "coordination_ring neither copy ever issues the cook-start "
+        "interact — the pot sits full for 300+ steps while both wander "
+        "holding onions; on counter_circuit neither copy pots). This is "
+        "role specialization, not a positional freeze — the agents keep "
+        "moving, so the reference's auto-unstuck (agent.py:366-404) "
+        "would not change it. Diagnosis + traces: NOTES.md "
+        "'PPO_BC self-pair zeros'.",
         "",
     ]
     for layout, lay_res in results.items():

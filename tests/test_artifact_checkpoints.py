@@ -88,6 +88,43 @@ def test_committed_old_dynamics_checkpoint_loads():
     assert per_game.mean() >= 60, per_game
 
 
+FC_PPO_BC_DIR = os.path.join(
+    ROOT, "runs/eval_artifact/ppo_bc_forced_coordination"
+)
+FC_BC_DIR = os.path.join(
+    ROOT, "runs/eval_artifact/bc_proxy_forced_coordination"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(FC_PPO_BC_DIR),
+    reason="forced_coordination artifact not present",
+)
+def test_forced_coordination_handoff_artifacts_score():
+    """forced_coordination REQUIRES counter hand-offs (dispensers and
+    pots in disconnected rooms); the r5 proxy clones the trained PPO_SP
+    pair instead of the hand-off-incapable greedy model (train_bc_proxy
+    --from-ppo), making the PPO_BC leg non-degenerate there (was an
+    all-zero row in both r4 matrices). Floors are loose versions of the
+    EVAL_MATRIX.md cells (PPO_BC+BC 100, BC+BC 32)."""
+    spec = from_layout_name("forced_coordination")
+    tables = build_motion_tables(spec.layout.terrain)
+    ppo_bc = build_agent(f"ppo:{FC_PPO_BC_DIR}", spec, tables)
+    bc = build_agent(f"bc:{FC_BC_DIR}", spec, tables)
+    traj = run_agent_pair(
+        spec, [ppo_bc, bc], num_games=6, horizon=400, seed=0,
+        greedy_carry=True,
+    )
+    per_game = np.asarray(traj["sparse"]).sum(axis=(0, 1))
+    assert per_game.mean() >= 40, per_game
+    traj = run_agent_pair(
+        spec, [bc, bc], num_games=6, horizon=400, seed=0,
+        greedy_carry=True,
+    )
+    per_game = np.asarray(traj["sparse"]).sum(axis=(0, 1))
+    assert per_game.mean() > 0, per_game
+
+
 def test_artifact_alias_npc():
     """`artifact:<name>` NPC kinds resolve to the committed eval-artifact
     checkpoint for the game's layout (the demo lobby's layout-generic
