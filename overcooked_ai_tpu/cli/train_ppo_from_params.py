@@ -38,6 +38,16 @@ def main():
         "~2e7 (half a 400-iter run) for a from-params run that learns",
     )
     ap.add_argument("--entropy-horizon", type=float, default=3e5)
+    ap.add_argument(
+        "--entropy-start", type=float, default=0.02,
+        help="entropy coefficient start (reference from-params 0.02; the "
+        "fixed-layout production recipe's 0.2 -> 0.01 anneal also "
+        "trains pool mode well -- see NOTES.md r5)",
+    )
+    ap.add_argument(
+        "--entropy-end", type=float, default=5e-5,
+        help="entropy coefficient floor (reference from-params 5e-5)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use-phi", action="store_true")
     ap.add_argument("--use-lstm", action="store_true")
@@ -80,8 +90,8 @@ def main():
             num_envs=6,  # x400 = 2400 (reference CI from-params batch)
             sgd_minibatch_size=800,
             num_sgd_iter=8,
-            entropy_coeff_start=0.02,
-            entropy_coeff_end=5e-5,
+            entropy_coeff_start=args.entropy_start,
+            entropy_coeff_end=args.entropy_end,
             entropy_coeff_horizon=args.entropy_horizon,
             lr=args.lr,
             use_phi=args.use_phi,
@@ -91,8 +101,8 @@ def main():
         config = PPOConfig(
             num_envs=args.num_envs,
             sgd_minibatch_size=12500,  # x2 agents = 25000 samples
-            entropy_coeff_start=0.02,
-            entropy_coeff_end=5e-5,
+            entropy_coeff_start=args.entropy_start,
+            entropy_coeff_end=args.entropy_end,
             entropy_coeff_horizon=args.entropy_horizon,
             lr=args.lr,
             use_phi=args.use_phi,

@@ -35,6 +35,16 @@ from overcooked_ai_tpu.utils.platform import force_platform
 force_platform("cpu")
 
 HORIZON = 400
+OLD_DYNAMICS = False  # set by --old-dynamics (module-level so the test
+                      # can flip it when replaying the old certificate)
+
+
+def _overrides():
+    return {"old_dynamics": True} if OLD_DYNAMICS else {}
+
+
+def cert_file():
+    return "certification_49_old" if OLD_DYNAMICS else "certification_49"
 
 
 def layout_names():
@@ -75,7 +85,7 @@ def run_ours(name):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
     from scenarios import biased_random_actions
 
-    spec = from_layout_name(name)
+    spec = from_layout_name(name, **_overrides())
     layout = spec.layout
     acts = biased_random_actions(spec.num_players, HORIZON, cert_seed(name))
     state = jax.tree.map(np.asarray, spec.layout.start_state)
@@ -117,8 +127,26 @@ def certify_live(name):
     import oracle
     from scenarios import biased_random_actions
 
-    mdp = oracle.make_mdp(name)
-    spec = from_layout_name(name)
+    try:
+        mdp = oracle.make_mdp(name, **_overrides())
+        ref_raised = False
+    except AssertionError:
+        ref_raised = True
+    try:
+        spec = from_layout_name(name, **_overrides())
+        ours_raised = False
+    except AssertionError:
+        ours_raised = True
+    if ref_raised or ours_raised:
+        # both must refuse identically (old dynamics only accepts
+        # 3-item orders; reference overcooked_mdp.py:1121-1127 == our
+        # layout.py guard). Refusal parity is part of the certificate.
+        if ref_raised and ours_raised:
+            return True, "unsupported"
+        return False, (
+            f"construction mismatch: ref_raised={ref_raised}, "
+            f"ours_raised={ours_raised}"
+        )
     layout = spec.layout
     ref_state = mdp.get_standard_start_state()
     my_state = jax.tree.map(
@@ -154,6 +182,14 @@ def certify_live(name):
 
 
 def main():
+    import argparse
+
+    global OLD_DYNAMICS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--old-dynamics", action="store_true",
+                    help="certify under old (auto-cook) dynamics; writes "
+                    "certification_49_old.json.gz")
+    OLD_DYNAMICS = ap.parse_args().old_dynamics
     names = layout_names()
     certs = {}
     failures = {}
@@ -164,13 +200,18 @@ def main():
             print(f"[{i + 1}/{len(names)}] {name}: FAIL ({detail})",
                   flush=True)
             continue
+        if detail == "unsupported":
+            certs[name] = {"unsupported": True}
+            print(f"[{i + 1}/{len(names)}] {name}: unsupported under "
+                  "these dynamics (refusal parity verified)", flush=True)
+            continue
         _, _, cert = run_ours(name)
         certs[name] = cert
         print(f"[{i + 1}/{len(names)}] {name}: ok "
               f"(sparse {cert['total_sparse']})", flush=True)
     out = os.path.join(
         os.path.dirname(__file__), "..", "tests", "golden",
-        "certification_49.json.gz",
+        cert_file() + ".json.gz",
     )
     if failures:
         print(f"\n{len(failures)} layouts DIVERGED: {failures}")

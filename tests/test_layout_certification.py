@@ -44,3 +44,33 @@ def test_layout_certified(name):
         f"{name}: dynamics drifted from the oracle-certified replay\n"
         f"got:  {got}\nwant: {cert}"
     )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("OVERCOOKED_SLOW_TESTS"),
+    reason="old-dynamics certification sweep is SLOW-gated (adds ~35 s "
+    "serial; the new-dynamics sweep above runs in the default suite)",
+)
+@pytest.mark.parametrize("name", sorted(certify_layouts.layout_names()))
+def test_layout_certified_old_dynamics(name):
+    """Same 49-layout certificate under old (auto-cook) dynamics
+    (certification_49_old.json.gz, generated with
+    certify_layouts.py --old-dynamics)."""
+    cert = golden_io.load("certification_49_old")["layouts"][name]
+    prev = certify_layouts.OLD_DYNAMICS
+    certify_layouts.OLD_DYNAMICS = True
+    try:
+        if cert.get("unsupported"):
+            # refusal parity: old dynamics only accepts 3-item orders
+            # (reference overcooked_mdp.py:1121-1127); the reference
+            # refused this layout too (verified at generation time)
+            with pytest.raises(AssertionError):
+                from_layout_name(name, old_dynamics=True)
+            return
+        _, _, got = certify_layouts.run_ours(name)
+    finally:
+        certify_layouts.OLD_DYNAMICS = prev
+    assert got == cert, (
+        f"{name} (old dynamics): drifted from the oracle-certified "
+        f"replay\ngot:  {got}\nwant: {cert}"
+    )
