@@ -48,6 +48,16 @@ def main():
         "--entropy-end", type=float, default=5e-5,
         help="entropy coefficient floor (reference from-params 5e-5)",
     )
+    ap.add_argument(
+        "--regen-every", type=int, default=0,
+        help="regenerate the whole layout pool on the host every N "
+        "iterations (0 = fixed pool). N>=1 is the reference's TRUE "
+        "num_mdp=inf: no layout ever repeats across the run "
+        "(ppo_rllib_from_params_client.py:232-234), which measurably "
+        "fixes held-out generalization (fixed pools memorize; see "
+        "NOTES.md r5 + runs/r5_pool_eval). Incompatible with --use-phi/"
+        "--use-lstm (their pool tables are host-precomputed)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use-phi", action="store_true")
     ap.add_argument("--use-lstm", action="store_true")
@@ -64,6 +74,7 @@ def main():
         force_platform(args.platform)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from overcooked_ai_tpu.core.layout_generator import LayoutGenerator
@@ -119,6 +130,11 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
     log = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
 
+    if args.regen_every:
+        assert not args.use_phi and not args.use_lstm, (
+            "--regen-every requires plain PPO (phi/lstm pool tables are "
+            "precomputed for a fixed pool)"
+        )
     if args.use_lstm:
         assert not args.use_phi, "lstm+phi combination not wired yet"
         from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
@@ -135,9 +151,19 @@ def main():
         print(f"resumed from step {start_iter}", flush=True)
 
     t_start = time.time()
+    from overcooked_ai_tpu.core.layout_generator import stack_layouts
+
+    fresh_pool = None
     for it in range(start_iter + 1, start_iter + args.iters + 1):
         t0 = time.time()
-        ts, m = train_it(ts)
+        if args.regen_every and (it - start_iter - 1) % args.regen_every == 0:
+            specs = [
+                gen.generate_spec(name=f"gen_{it}_{i}")
+                for i in range(args.pool_size)
+            ]
+            fresh_pool = jax.tree.map(jnp.asarray, stack_layouts(specs))
+        ts, m = train_it(ts, fresh_pool) if fresh_pool is not None \
+            else train_it(ts)
         m = jax.device_get(m)
         log.log(it, m)
         if it % 10 == 0 or it == 1:

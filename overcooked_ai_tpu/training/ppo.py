@@ -292,13 +292,20 @@ def make_ppo(
         env_transition, in_axes=(layout_axis, -1, -1), out_axes=-1
     )
 
-    def rollout(params, key, shaping_factor, bc_factor):
+    def rollout(params, key, shaping_factor, bc_factor, pool=None):
         key, k_pool = jax.random.split(key)
         if pool_mode:
-            # fresh layout per lane per episode (reference num_mdp=inf)
+            # fresh layout per lane per episode. With `pool=None` lanes
+            # sample the FIXED pool captured at build time; a passed
+            # `pool` (same leaf shapes, fresh content — see
+            # train_iteration) makes this the reference's true
+            # num_mdp=inf: the host regenerates the pool between
+            # iterations, so no layout repeats across the run
+            # (ppo_rllib_from_params_client.py:232-234).
+            src_pool = layout_pool if pool is None else pool
             pool_idx = jax.random.randint(k_pool, (B,), 0, n_pool)
             lay = jax.tree.map(
-                lambda leaf: jnp.asarray(leaf)[..., pool_idx], layout_pool
+                lambda leaf: jnp.asarray(leaf)[..., pool_idx], src_pool
             )
             state0 = lay.start_state  # already (..., B) after the gather
         else:
@@ -373,7 +380,7 @@ def make_ppo(
         _, traj = jax.lax.scan(body, state0, keys)
         return traj
 
-    def rollout_fused(params, key, shaping_factor, bc_factor):
+    def rollout_fused(params, key, shaping_factor, bc_factor, pool=None):
         """The same rollout, but the env side of each step -- transition +
         events + sparse/shaped rewards + post-step lossless encoding -- is
         ONE pallas kernel launch (ops/fused_train.py) with the batch state
@@ -559,7 +566,12 @@ def make_ppo(
     n_minibatches = n_samples // mb_size
 
     @jax.jit
-    def train_iteration(ts: TrainState):
+    def train_iteration(ts: TrainState, pool=None):
+        """One PPO iteration. `pool` (pool mode only): optional fresh
+        layout-pool pytree with the SAME leaf shapes as the build-time
+        pool — pass one regenerated per iteration for the reference's
+        true num_mdp=inf (requires use_phi=False and no bc_policy,
+        whose pool tables are host-precomputed for the fixed pool)."""
         key, k_roll, k_perm = jax.random.split(ts.key, 3)
         shaping_factor = _anneal(
             config.reward_shaping_factor,
@@ -573,7 +585,7 @@ def make_ppo(
             config.entropy_coeff_end,
         )
         bc_factor = _bc_factor_at(config.bc_schedule, ts.env_steps)
-        traj = rollout(ts.params, k_roll, shaping_factor, bc_factor)
+        traj = rollout(ts.params, k_roll, shaping_factor, bc_factor, pool)
         advantages, value_targets = gae(traj)
         # standardize advantages across the trained samples (rllib
         # standardize_fields=["advantages"])
