@@ -260,6 +260,12 @@ def stack_layouts(specs: Sequence[LayoutSpec]):
     assert len(shapes) == 1, f"layouts must share a grid shape, got {shapes}"
     players = {int(np.asarray(l.start_state.pos).shape[0]) for l in layouts}
     assert len(players) == 1, "layouts must share the player count"
+    # stack on the HOST (one device upload per leaf, not one per spec):
+    # ~7x cheaper than jnp.stack-of-jnp.asarray for a 64-spec pool, which
+    # matters when --regen-every rebuilds the pool between iterations
     return jax.tree.map(
-        lambda *xs: jnp.stack([jnp.asarray(x) for x in xs], axis=-1), *layouts
+        lambda *xs: jnp.asarray(
+            np.stack([np.asarray(x) for x in xs], axis=-1)
+        ),
+        *layouts,
     )

@@ -47,6 +47,42 @@ def test_pool_rollout_uses_different_layouts():
     assert np.isfinite(float(m.episode_shaped_reward))
 
 
+def test_pool_regeneration_single_compile():
+    """num_mdp=inf mode: train_iteration accepts a FRESH same-shape
+    layout pool as an argument (host regenerates between iterations,
+    train_ppo_from_params --regen-every); fresh pools must reuse the one
+    compiled program (no per-pool recompile) and actually train on the
+    passed pool's layouts."""
+    from overcooked_ai_tpu.core.layout_generator import stack_layouts
+
+    specs = _pool(4)
+    cfg = PPOConfig(
+        num_envs=8, horizon=20, sgd_minibatch_size=80, num_sgd_iter=1,
+        lr=1e-4,
+    )
+    init_fn, train_it = make_ppo(specs, cfg)
+    ts = init_fn(jax.random.PRNGKey(0))
+
+    def fresh(seed):
+        return jax.tree.map(
+            jnp.asarray, stack_layouts(_pool(4, seed=seed))
+        )
+
+    for seed in (1, 2, 3):
+        ts, m = train_it(ts, fresh(seed))
+        assert np.isfinite(float(m.kl))
+    assert train_it._cache_size() == 1, (
+        "fresh same-shape pools must not retrace train_iteration"
+    )
+    # a passed pool with different leaf SHAPES must fail loudly (the
+    # program was built for the original pool's grid/batch shapes)
+    with pytest.raises(Exception):
+        bad = jax.tree.map(
+            jnp.asarray, stack_layouts(_pool(4, seed=9, shape=(7, 5)))
+        )
+        train_it(ts, bad)
+
+
 def test_pool_ppo_learns():
     """Shaped reward increases when training across a generated pool."""
     specs = _pool(3, seed=1)
