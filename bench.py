@@ -106,16 +106,18 @@ def _bench_train_path(spec, state, block_b):
     return BATCH * NUM_STEPS_TRAIN / dt, state
 
 
-def _bench_train_iter():
-    """Full PPO train_iteration (rollout+encode+GAE+SGD, fused path) at a
-    large-batch production config; env-steps/s of wall-clock learning."""
+def _bench_train_iter(num_envs=TRAIN_ITER_ENVS,
+                      minibatch=TRAIN_ITER_MINIBATCH):
+    """Full PPO train_iteration (rollout+encode+GAE+SGD) — env-steps/s of
+    wall-clock learning. Measured at two configs: the large-batch fused
+    config and the reference production config (30 envs; the config
+    behind README's '420 iters x 12k steps in 57 s' and the speedrun).
+    NOTE the learner is SGD-epoch-bound at ~2.3M sample-passes/s
+    regardless of batch split (NOTES.md r5), so the two land close."""
     from overcooked_ai_tpu.training.ppo import PPOConfig, make_ppo
 
     spec = from_layout_name("cramped_room")
-    config = PPOConfig(
-        num_envs=TRAIN_ITER_ENVS,
-        sgd_minibatch_size=TRAIN_ITER_MINIBATCH,
-    )
+    config = PPOConfig(num_envs=num_envs, sgd_minibatch_size=minibatch)
     init_fn, train_it = make_ppo(spec, config)
     ts = init_fn(jax.random.PRNGKey(0))
 
@@ -260,6 +262,12 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         extra["train_iter_steps_per_sec"] = _fail(e)
+    try:
+        ref_rate, ref_dt = _bench_train_iter(num_envs=30, minibatch=2000)
+        extra["train_iter_ref_config_steps_per_sec"] = round(ref_rate)
+        extra["train_iter_ref_config_wall_s"] = round(ref_dt, 3)
+    except Exception as e:  # noqa: BLE001
+        extra["train_iter_ref_config_steps_per_sec"] = _fail(e)
 
     try:
         extra["pool_rollout_steps_per_sec"] = round(
