@@ -54,6 +54,11 @@ def main():
         help="output-file suffix; default '' or '_OLD_DYNAMICS'",
     )
     ap.add_argument(
+        "--render-only", action="store_true",
+        help="skip evaluation; rewrite the markdown + heatmap from the "
+        "existing results JSON",
+    )
+    ap.add_argument(
         "--merge", action="store_true",
         help="re-evaluate only --layouts and merge into the existing "
         "results JSON (other layouts' cells kept; same seeds => they "
@@ -79,6 +84,13 @@ def main():
 
     overrides = {"old_dynamics": True} if args.old_dynamics else {}
     art = args.art_dir
+    if args.render_only:
+        with open(f"eval_matrix_results{suffix.lower()}.json") as f:
+            results = json.load(f)["results"]
+        _write_markdown(results, args.games, suffix, args.old_dynamics, art)
+        _plot(results, suffix)
+        print(f"re-rendered EVAL_MATRIX{suffix}.md + heatmap")
+        return
     results = {}
     for layout_name in args.layouts:
         spec = from_layout_name(layout_name, **overrides)
@@ -168,8 +180,11 @@ def _write_markdown(results, games, suffix, old_dynamics, art):
         "BC proxy as partner (bc_factor 0 -> 1 over 4M steps, the "
         "reference protocol's headline human-aware agent); `BC` = "
         "behavior-cloned human proxy fit to mixed-partner greedy "
-        "demonstrations (the reference ships no real human data; see "
-        "`scripts/train_bc_proxy.py`); `greedy` = the scripted "
+        "demonstrations — except on forced_coordination, whose proxy "
+        "clones the trained PPO_SP pair (`train_bc_proxy --from-ppo`) "
+        "because the greedy lineage cannot do the counter hand-offs "
+        "that layout requires (the reference ships no real human data; "
+        "see `scripts/train_bc_proxy.py`); `greedy` = the scripted "
         f"GreedyHumanModel. Checkpoints: `{art}`. Dynamics: {dyn}.",
         "",
         "Row = seat 0, column = seat 1 (cell: mean ± std).",
