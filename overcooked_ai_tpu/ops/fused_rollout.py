@@ -196,12 +196,22 @@ def _make_step(spec, meta: _Meta, emit_train: bool = False):
     the 25-event bitmask (EVENT_TYPES bit order) exactly as core/step.py
     (reference resolve_interacts event logging + usefulness classifiers,
     overcooked_mdp.py:1432-1579, 2121-2308) — the training hot path.
+
+    meta may be the static per-layout `_Meta` (terrain folded into Python
+    constants) or a duck-typed dynamic meta (`ops/fused_pool._PoolMeta`,
+    `meta.dynamic = True`): ALL HW cells carried, terrain read from bits
+    28-30 of each cell word at runtime, and the caller passes `dyn`
+    (per-lane floor bitmask registers + pot count) into `step`. The
+    dynamic mode is the variable-MDP (layout-pool) kernel path; recipe
+    tables / shaping params / old_dynamics stay compile-time constants
+    (asserted uniform across the pool by the fused_pool wrappers).
     """
     lay = spec.layout
     W = spec.width
     HW = spec.height * W
     P = spec.num_players
     K = len(meta.lins)
+    dynamic = bool(getattr(meta, "dynamic", False))
     old_dynamics = bool(lay.old_dynamics)
     time_t = np.asarray(lay.time_table)
     deliv_t = np.asarray(lay.delivery_value)
@@ -212,13 +222,19 @@ def _make_step(spec, meta: _Meta, emit_train: bool = False):
         rew_pot = int(lay.placement_in_pot_rew)
         rew_dish = int(lay.dish_pickup_rew)
         rew_soup = int(lay.soup_pickup_rew)
-        pot_ks = [k for k in range(K) if meta.tt[k] == TERRAIN_POT]
-        inert_dishes = sum(
-            1 for (_l, o, _s, _st, _sq) in meta.inert if o == OBJ_DISH
-        )
+        if dynamic:
+            # every cell is a pot candidate; predicated on the word's
+            # terrain bits inside the snapshot loop below
+            pot_ks = list(range(K))
+            inert_dishes = 0
+        else:
+            pot_ks = [k for k in range(K) if meta.tt[k] == TERRAIN_POT]
+            inert_dishes = sum(
+                1 for (_l, o, _s, _st, _sq) in meta.inert if o == OBJ_DISH
+            )
         two_player = P == 2
 
-    def is_floor(lin):
+    def _static_is_floor(lin):
         """(EMPTY_MASK >> lin) & 1 against the static floor bitmask."""
         if len(meta.empty_masks) == 1:
             bit = (jnp.uint32(meta.empty_masks[0]) >> lin.astype(jnp.uint32)) & 1
@@ -231,7 +247,24 @@ def _make_step(spec, meta: _Meta, emit_train: bool = False):
             ok = ok | (((lin >> 5) == c) & (bit == 1))
         return ok
 
-    def step(rows, px, py, orient, held, hslots, htick, t, actions):
+    def _dyn_is_floor(emask, lin):
+        """Same test against per-lane floor bitmask registers."""
+        if len(emask) == 1:
+            bit = (emask[0] >> lin.astype(jnp.uint32)) & 1
+            return bit == 1
+        ok = jnp.zeros(lin.shape, jnp.bool_)
+        for c, m in enumerate(emask):
+            bit = (m >> (lin & 31).astype(jnp.uint32)) & 1
+            ok = ok | (((lin >> 5) == c) & (bit == 1))
+        return ok
+
+    def step(rows, px, py, orient, held, hslots, htick, t, actions, dyn=None):
+        if dynamic:
+            is_floor = functools.partial(_dyn_is_floor, dyn["emask"])
+            num_pots_v = dyn["num_pots"] if emit_train else None
+        else:
+            is_floor = _static_is_floor
+            num_pots_v = num_pots if emit_train else None
         rows = list(rows)
         sparse = []
         if emit_train:
@@ -244,6 +277,9 @@ def _make_step(spec, meta: _Meta, emit_train: bool = False):
             n_nonempty = zero
             for k in pot_ks:
                 w = rows[k]
+                isp = (
+                    (((w >> 28) & 7) == TERRAIN_POT) if dynamic else None
+                )
                 s0 = (w >> 3) & 3
                 s1 = (w >> 5) & 3
                 s2 = (w >> 7) & 3
@@ -264,10 +300,13 @@ def _make_step(spec, meta: _Meta, emit_train: bool = False):
                 p_cooking = p_soup & ~p_idle & ~p_ready
                 part_full = p_soup & p_idle & (p_n >= 1) & (p_n < _SLOTS)
                 full_idle = p_soup & p_idle & (p_n == _SLOTS)
-                n_full = n_full + (p_cooking | p_ready | full_idle).astype(i32)
-                n_nonempty = n_nonempty + (
-                    p_ready | p_cooking | part_full
-                ).astype(i32)
+                fullish = p_cooking | p_ready | full_idle
+                nonemptyish = p_ready | p_cooking | part_full
+                if dynamic:  # only actual pot cells count
+                    fullish = fullish & isp
+                    nonemptyish = nonemptyish & isp
+                n_full = n_full + fullish.astype(i32)
+                n_nonempty = n_nonempty + nonemptyish.astype(i32)
 
         # ---- 1. resolve_interacts: sequential per player (reference :1432)
         for i in range(P):
@@ -348,7 +387,7 @@ def _make_step(spec, meta: _Meta, emit_train: bool = False):
                 # (reference :2180-2254); pot snapshot is pre-interact.
                 if two_player:
                     other_held = held[1 - i]
-                    all_pots_full = n_full == num_pots
+                    all_pots_full = n_full == num_pots_v
                     no_full_pots = n_full == 0
                     doc = zero + inert_dishes  # dishes on counters
                     for k in range(K):
@@ -544,8 +583,12 @@ def _make_step(spec, meta: _Meta, emit_train: bool = False):
             px[i] = jnp.where(collision, px[i], nx[i])
             py[i] = jnp.where(collision, py[i], ny[i])
 
-        # ---- 3. step_environment_effects (reference :1691-1703), pot rows only
-        for k in meta.effect_ks:
+        # ---- 3. step_environment_effects (reference :1691-1703). Static
+        # mode: pot rows only (held soups are always ready, so counter
+        # soups never tick). Dynamic mode: every cell, is_soup-guarded —
+        # exactly core/step.py's whole-grid formulation (its off-pot soups
+        # are ready, so `cooking` is false and the word passes through).
+        for k in (range(K) if dynamic else meta.effect_ks):
             w = rows[k]
             s0 = (w >> 3) & 3
             s1 = (w >> 5) & 3
