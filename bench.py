@@ -18,10 +18,12 @@ Measured paths:
     8 SGD epochs); reported as `train_iter_steps_per_sec`. This is
     wall-clock learning throughput, the number behind the speedrun
     artifact (runs/speedrun_cramped/).
-  * pool     (core/step.py + layout gather): the variable-MDP (from-
-    params) env path -- per-lane layouts gathered from a 64-layout
-    generated pool, XLA scan (the pool mode has no pallas kernel);
-    reported as `pool_rollout_steps_per_sec` at 16k envs.
+  * pool     (ops/fused_pool.py): the variable-MDP (from-params) env
+    path -- per-lane layouts gathered from a 64-layout generated pool
+    run by the dynamic-terrain pallas kernel; reported as
+    `pool_rollout_steps_per_sec` at 16k envs, with the XLA scan
+    formulation of the same path as `pool_xla_rollout_steps_per_sec`
+    for comparison.
 
 Dispatch honesty: the per-call fixed dispatch latency of the remote-
 device tunnel is MEASURED via the marginal-rate method (two call
@@ -130,16 +132,13 @@ def _bench_train_iter(num_envs=TRAIN_ITER_ENVS,
     return config.train_batch_size / dt, dt
 
 
-def _bench_pool(key):
-    """Variable-MDP env path: per-lane layouts from a generated pool,
-    vmapped XLA transition scan (training/ppo.py pool mode's env side)."""
+def _make_pool():
     import numpy as np
 
     from overcooked_ai_tpu.core.layout_generator import (
         LayoutGenerator,
         stack_layouts,
     )
-    from overcooked_ai_tpu.core.step import step
 
     gen = LayoutGenerator(
         outer_shape=(5, 4), prop_empty=0.95, prop_feats=0.1,
@@ -147,6 +146,42 @@ def _bench_pool(key):
     )
     specs = [gen.generate_spec(name=f"bench_{i}") for i in range(64)]
     pool = jax.tree.map(jnp.asarray, stack_layouts(specs))  # (..., N)
+    return specs, pool
+
+
+def _bench_pool_fused(key, block_b=1024):
+    """Variable-MDP env path, fused: per-lane layouts from a generated
+    pool run whole-horizon inside the dynamic-terrain pallas kernel
+    (ops/fused_pool.py)."""
+    from overcooked_ai_tpu.ops.fused_pool import (
+        check_pool_uniform,
+        fused_pool_rollout_random,
+    )
+
+    specs, pool = _make_pool()
+    spec0 = check_pool_uniform(specs)
+    idx = jax.random.randint(key, (BATCH,), 0, len(specs))
+    lay = jax.tree.map(lambda leaf: leaf[..., idx], pool)
+    state = lay.start_state
+
+    def run(st, seed):
+        fs, ret = fused_pool_rollout_random(
+            spec0, lay, st, seed=seed, num_steps=NUM_STEPS, block_b=block_b
+        )
+        int(ret.sum())
+        return fs
+
+    dt, _ = _median_time(run, state)
+    return BATCH * NUM_STEPS / dt
+
+
+def _bench_pool(key):
+    """Variable-MDP env path: per-lane layouts from a generated pool,
+    vmapped XLA transition scan (the pre-kernel formulation, kept for
+    the fused-vs-XLA comparison)."""
+    from overcooked_ai_tpu.core.step import step
+
+    specs, pool = _make_pool()
     n_pool = len(specs)
     num_players = specs[0].num_players
     batched_transition = jax.vmap(step, in_axes=(-1, -1, -1), out_axes=-1)
@@ -271,10 +306,16 @@ def main():
 
     try:
         extra["pool_rollout_steps_per_sec"] = round(
-            _bench_pool(jax.random.PRNGKey(7))
+            _bench_pool_fused(jax.random.PRNGKey(7))
         )
     except Exception as e:  # noqa: BLE001
         extra["pool_rollout_steps_per_sec"] = _fail(e)
+    try:
+        extra["pool_xla_rollout_steps_per_sec"] = round(
+            _bench_pool(jax.random.PRNGKey(7))
+        )
+    except Exception as e:  # noqa: BLE001
+        extra["pool_xla_rollout_steps_per_sec"] = _fail(e)
 
     print(
         json.dumps(

@@ -58,6 +58,14 @@ def main():
         "NOTES.md r5 + runs/r5_pool_eval). Incompatible with --use-phi/"
         "--use-lstm (their pool tables are host-precomputed)",
     )
+    ap.add_argument(
+        "--fused", choices=["auto", "on", "off"], default="auto",
+        help="env side of each training step as one pallas kernel — in "
+        "pool mode the dynamic-terrain ops/fused_pool.py kernel "
+        "(PPOConfig.fused): auto enables it for 128-lane batches (the "
+        "default --num-envs 250 is NOT lane-divisible; use e.g. "
+        "--num-envs 256); on forces it (errors if incompatible)",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--use-phi", action="store_true")
     ap.add_argument("--use-lstm", action="store_true")
@@ -96,6 +104,7 @@ def main():
     ]
     print(f"generated pool of {len(specs)} {w}x{h} layouts", flush=True)
 
+    fused = {"auto": None, "on": True, "off": False}[args.fused]
     if args.local_testing:
         config = PPOConfig(
             num_envs=6,  # x400 = 2400 (reference CI from-params batch)
@@ -107,6 +116,7 @@ def main():
             lr=args.lr,
             use_phi=args.use_phi,
             reward_shaping_horizon=args.shaping_horizon,
+            fused=fused,
         )
     else:
         config = PPOConfig(
@@ -118,6 +128,7 @@ def main():
             lr=args.lr,
             use_phi=args.use_phi,
             reward_shaping_horizon=args.shaping_horizon,
+            fused=fused,
         )
 
     potential_fn = None

@@ -197,8 +197,11 @@ def make_ppo(
 
     # ---- fused-rollout eligibility (pallas training-step kernel) ----
     # The kernel folds the batch as (B // lanes, lanes) vregs; it needs B
-    # divisible by both the lane fold and the program tile. Pool mode is
-    # XLA-only (per-lane layout gather has no kernel equivalent yet). With
+    # divisible by both the lane fold and the program tile. Pool mode uses
+    # the dynamic-terrain kernel (ops/fused_pool.py), which additionally
+    # needs the recipe tables / shaping params / old_dynamics uniform
+    # across the pool (check_pool_uniform) — every LayoutGenerator pool
+    # qualifies; a hand-built mixed-recipe pool falls back to XLA. With
     # a dp mesh the kernel runs under shard_map: each device launches its
     # own pallas grid over its batch shard (B/n_dp envs), so the LOCAL
     # batch must satisfy the divisibility rules.
@@ -210,8 +213,16 @@ def make_ppo(
     from overcooked_ai_tpu.ops.fused_rollout import _lanes_for
 
     _lanes = _lanes_for(fused_block_b)
+    pool_uniform = True
+    if pool_mode:
+        from overcooked_ai_tpu.ops.fused_pool import check_pool_uniform
+
+        try:
+            check_pool_uniform(specs)
+        except AssertionError:
+            pool_uniform = False
     fused_ok = (
-        not pool_mode
+        pool_uniform
         and B_local > 0
         and B_local % _lanes == 0
         and B_local % fused_block_b == 0
@@ -231,9 +242,10 @@ def make_ppo(
         if not fused_ok:
             raise ValueError(
                 "config.fused=True but the fused rollout kernel cannot run "
-                f"this configuration (pool_mode={pool_mode}, n_dp={n_dp}, "
-                f"B={B}, block_b={fused_block_b}, lanes={_lanes}); use "
-                "fused=None/False or fix the batch"
+                f"this configuration (pool_uniform={pool_uniform}, "
+                f"n_dp={n_dp}, B={B}, block_b={fused_block_b}, "
+                f"lanes={_lanes}); use fused=None/False, fix the batch, or "
+                "(pool mode) make the pool's recipe tables uniform"
             )
         fused_enabled = True
     else:
@@ -383,16 +395,36 @@ def make_ppo(
     def rollout_fused(params, key, shaping_factor, bc_factor, pool=None):
         """The same rollout, but the env side of each step -- transition +
         events + sparse/shaped rewards + post-step lossless encoding -- is
-        ONE pallas kernel launch (ops/fused_train.py) with the batch state
-        VMEM-resident, instead of the ~dozens of XLA kernels of the scan
-        path. The RNG-split structure matches `rollout` exactly, and the
-        kernel is bit-exact vs core/step.py + core/encoding.py, so both
-        paths produce identical trajectories for identical (params, key).
+        ONE pallas kernel launch (ops/fused_train.py, or the dynamic-
+        terrain ops/fused_pool.py kernel in pool mode with the per-lane
+        layouts as packed operands) with the batch state VMEM-resident,
+        instead of the ~dozens of XLA kernels of the scan path. The
+        RNG-split structure matches `rollout` exactly, and the kernels are
+        bit-exact vs core/step.py + core/encoding.py, so both paths
+        produce identical trajectories for identical (params, key).
         """
         from overcooked_ai_tpu.ops import fused_train as _ft
 
-        key, k_pool = jax.random.split(key)  # k_pool unused (parity w/ XLA)
-        state0 = batch_reset(layout, B)
+        key, k_pool = jax.random.split(key)
+        if pool_mode:
+            # per-lane layout gather, same RNG structure as the XLA path
+            from overcooked_ai_tpu.ops import fused_pool as _fp
+
+            src_pool = layout_pool if pool is None else pool
+            pool_idx = jax.random.randint(k_pool, (B,), 0, n_pool)
+            lay = jax.tree.map(
+                lambda leaf: jnp.asarray(leaf)[..., pool_idx], src_pool
+            )
+            state0 = lay.start_state
+            # packed per-lane layout operands for the dynamic-terrain
+            # kernel; the layouts are fixed within the episode batch, so
+            # pack ONCE per rollout, not per step
+            ptiles = _fp.pool_data_tiles(lay, fused_block_b)
+        else:
+            pool_idx = None
+            lay = layout
+            state0 = batch_reset(layout, B)
+            ptiles = ()
         key, k_bc, k_seat = jax.random.split(key, 3)
         if use_bc:
             bc_mask = bc_seat_mask(k_bc, k_seat, bc_factor, num_players, B)
@@ -406,21 +438,23 @@ def make_ppo(
         tiles0 = _ft.state_to_tiles(spec, state0, _lanes)
         # XLA encode once for the initial obs; int8 to match the kernel's
         # obs dtype (the scan carry must be type-stable)
-        obs0 = obs_of(layout, state0).astype(jnp.int8)
+        obs0 = obs_of(lay, state0).astype(jnp.int8)
 
-        def _kernel_call(tiles, act):
+        def _kernel_call(tiles, act, pt):
+            # exactly T steps from a fresh reset per iteration: never
+            # auto-reset mid-rollout, so the terminal tiles are the
+            # true pre-reset state (phi needs it; matches the XLA
+            # path's env_transition semantics)
+            if pool_mode:
+                return _fp.fused_pool_train_step_tiles(
+                    spec, pt, tiles, act,
+                    horizon=T, block_b=fused_block_b,
+                    interpret=fused_interpret, reset_horizon=T + 1,
+                )
             return _ft.fused_train_step_tiles(
-                spec,
-                tiles,
-                act,
-                horizon=T,
-                block_b=fused_block_b,
-                interpret=fused_interpret,
-                # exactly T steps from a fresh reset per iteration: never
-                # auto-reset mid-rollout, so the terminal tiles are the
-                # true pre-reset state (phi needs it; matches the XLA
-                # path's env_transition semantics)
-                reset_horizon=T + 1,
+                spec, tiles, act,
+                horizon=T, block_b=fused_block_b,
+                interpret=fused_interpret, reset_horizon=T + 1,
             )
 
         if mesh is not None:
@@ -433,21 +467,28 @@ def make_ppo(
             act_eg = jax.ShapeDtypeStruct(
                 (num_players, B // _lanes, _lanes), jnp.int32
             )
-            out_eg = jax.eval_shape(_kernel_call, tiles0, act_eg)
+            out_eg = jax.eval_shape(_kernel_call, tiles0, act_eg, ptiles)
             step_call = shard_map(
                 _kernel_call,
                 mesh=mesh,
                 in_specs=(
                     jax.tree.map(_sp, tiles0),
                     _sp(act_eg),
+                    jax.tree.map(_sp, ptiles),
                 ),
                 out_specs=jax.tree.map(_sp, out_eg),
                 check_vma=False,
             )
         else:
             step_call = _kernel_call
+
+        def phi_of(state):
+            if pool_mode:
+                return potential_fn(pool_idx, lay, state)
+            return potential_fn(lay, state)
+
         phi0 = (
-            potential_fn(layout, state0)
+            phi_of(state0)
             if config.use_phi
             else jnp.zeros((B,), jnp.float32)
         )
@@ -463,16 +504,21 @@ def make_ppo(
             actions_pb = action.reshape(num_players, B)
             if use_bc:
                 state = _ft.tiles_to_state(spec, tiles)
-                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                if pool_mode:
+                    bc_actions = bc_policy(key_b, lay, state, pool_idx)
+                else:
+                    bc_actions = bc_policy(key_b, lay, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             act_tiles = actions_pb.reshape(num_players, B // _lanes, _lanes)
-            tiles, obs_t, sparse, shaped, _ev = step_call(tiles, act_tiles)
+            tiles, obs_t, sparse, shaped, _ev = step_call(
+                tiles, act_tiles, ptiles
+            )
             obs_next = _ft.obs_tiles_to_nhwc(spec, obs_t)
             sparse = sparse.reshape(num_players, B)
             shaped = shaped.reshape(num_players, B)
             sparse_sum = jnp.sum(sparse, axis=0)  # (B,)
             if config.use_phi:
-                phi_sp = potential_fn(layout, _ft.tiles_to_state(spec, tiles))
+                phi_sp = phi_of(_ft.tiles_to_state(spec, tiles))
                 dense = jnp.broadcast_to(
                     (phi_sp - phi_s)[None], (num_players, B)
                 )

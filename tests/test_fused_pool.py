@@ -121,7 +121,7 @@ def test_pool_train_step_parity():
     P = spec0.num_players
     idx = np.arange(B) % len(specs)
     lay = gather_lanes(specs, idx)
-    horizon = 30
+    horizon = 20  # 2 per-lane auto-resets inside the 45-step window
     bstep = jax.jit(jax.vmap(step, in_axes=(-1, -1, -1), out_axes=-1))
 
     @jax.jit

@@ -12,6 +12,8 @@ Interpret mode on CPU; the real-TPU compiled-Mosaic run of the same
 equivalence is in the opt-in OVERCOOKED_TPU_TESTS suite.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -114,17 +116,105 @@ def test_fused_auto_mode_selection():
     # B=8: auto must fall back to XLA silently
     init_fn, _ = make_ppo(spec, _cfg(fused=None))
     init_fn(jax.random.PRNGKey(0))
-    # pool mode has no kernel path: forcing fused must raise, not crash
-    with pytest.raises(ValueError, match="fused"):
-        make_ppo([spec, spec], _cfg(fused=True))
+    # pool mode with uniform recipe tables HAS a kernel path now
+    # (ops/fused_pool.py): forcing fused must build
+    init_fn_p, _ = make_ppo([spec, spec], _cfg(fused=True))
+    init_fn_p(jax.random.PRNGKey(0))
+    # ... but a mixed-recipe pool must still raise a clear error
+    spec_rich = from_layout_name("cramped_room", delivery_reward=37)
+    with pytest.raises(ValueError, match="uniform"):
+        make_ppo([spec, spec_rich], _cfg(fused=True))
 
 
-def test_fused_mesh_equals_single_device():
+def test_pool_fused_equals_xla_iteration():
+    """Pool mode: the dynamic-terrain kernel path == the XLA pool path
+    (identical per-lane layout gather RNG + bit-exact kernel => identical
+    trajectories)."""
+    from overcooked_ai_tpu.core.layout_generator import LayoutGenerator
+
+    gen = LayoutGenerator(
+        outer_shape=(5, 4), rng=np.random.RandomState(2)
+    )
+    specs = [gen.generate_spec(name=f"g{i}") for i in range(4)]
+
+    ts_x, m_x = _one_iteration(specs, _cfg(fused=False))
+    ts_f, m_f = _one_iteration(specs, _cfg(fused=True))
+
+    assert float(m_x.episode_sparse_reward) == float(m_f.episode_sparse_reward)
+    assert float(m_x.episode_shaped_reward) == float(m_f.episode_shaped_reward)
+    for name in ("policy_loss", "vf_loss", "kl", "entropy"):
+        np.testing.assert_allclose(
+            float(getattr(m_x, name)),
+            float(getattr(m_f, name)),
+            rtol=2e-3,
+            atol=1e-5,
+            err_msg=name,
+        )
+    for a, b in zip(
+        jax.tree.leaves(ts_x.params), jax.tree.leaves(ts_f.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-4
+        )
+
+
+def test_pool_fused_regen_iteration():
+    """num_mdp=inf (fresh pool per iteration) rides the fused pool path:
+    a regenerated same-shape pool passed to train_iteration reuses the
+    compiled program and trains on the new layouts."""
+    from overcooked_ai_tpu.core.layout_generator import (
+        LayoutGenerator,
+        stack_layouts,
+    )
+
+    gen = LayoutGenerator(
+        outer_shape=(5, 4), rng=np.random.RandomState(4)
+    )
+    specs = [gen.generate_spec(name=f"g{i}") for i in range(4)]
+    init_fn, train_it = make_ppo(specs, _cfg(fused=True))
+    ts = init_fn(jax.random.PRNGKey(3))
+
+    def fresh(tag):
+        return stack_layouts(
+            [gen.generate_spec(name=f"{tag}{i}") for i in range(4)]
+        )
+
+    for tag in ("h", "j"):
+        ts, m = train_it(ts, pool=fresh(tag))
+        assert np.isfinite(float(m.kl))
+    assert train_it._cache_size() == 1, "fresh pool must not recompile"
+
+
+@pytest.mark.parametrize(
+    "pool",
+    [
+        False,
+        pytest.param(
+            True,
+            marks=pytest.mark.skipif(
+                os.environ.get("OVERCOOKED_SLOW_TESTS") != "1",
+                reason="8-vdev pool-kernel interpret run ~5 min; set "
+                "OVERCOOKED_SLOW_TESTS=1",
+            ),
+        ),
+    ],
+)
+def test_fused_mesh_equals_single_device(pool):
     """Fused rollout under a dp mesh (shard_map pallas per shard) produces
-    the same trajectories as the meshless fused path."""
+    the same trajectories as the meshless fused path — including pool
+    mode, where the per-lane layout operands are sharded alongside the
+    state tiles."""
     from overcooked_ai_tpu.parallel.mesh import make_mesh, replicated
 
-    spec = from_layout_name("cramped_room")
+    if pool:
+        from overcooked_ai_tpu.core.layout_generator import LayoutGenerator
+
+        gen = LayoutGenerator(
+            outer_shape=(5, 4), rng=np.random.RandomState(6)
+        )
+        spec = [gen.generate_spec(name=f"m{i}") for i in range(4)]
+    else:
+        spec = from_layout_name("cramped_room")
     cfg = _cfg(fused=True, num_envs=16, fused_block_b=2,
                sgd_minibatch_size=16 * T // 2)
 
