@@ -197,3 +197,153 @@ def test_fused_ppo_iteration_matches_xla_on_device():
         float(m_f.episode_total_reward),
         rtol=1e-5,
     )
+
+
+def _gen_pool(n=64, seed=0):
+    from overcooked_ai_tpu.core.layout_generator import (
+        LayoutGenerator,
+        stack_layouts,
+    )
+    from overcooked_ai_tpu.ops.fused_pool import check_pool_uniform
+
+    gen = LayoutGenerator(
+        outer_shape=(5, 4), prop_empty=0.95, prop_feats=0.1,
+        rng=np.random.RandomState(seed),
+    )
+    specs = [gen.generate_spec(name=f"tpu_{i}") for i in range(n)]
+    spec0 = check_pool_uniform(specs)
+    pool = jax.tree.map(jnp.asarray, stack_layouts(specs))
+    idx = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, n)
+    lay = jax.tree.map(lambda leaf: leaf[..., idx], pool)
+    return spec0, lay
+
+
+def test_fused_pool_rollout_matches_scan_on_device():
+    """The dynamic-terrain pool kernel vs the vmapped core.step scan over
+    the SAME per-lane layouts, compiled, 16k lanes over a 64-layout pool
+    (the compiled-Mosaic analogue of test_fused_pool.py)."""
+    from overcooked_ai_tpu.core.step import step
+    from overcooked_ai_tpu.ops.fused_pool import fused_pool_rollout_actions
+
+    spec0, lay = _gen_pool()
+    state = lay.start_state
+    T, horizon = 90, 40
+    actions = jax.random.randint(
+        jax.random.PRNGKey(2), (T, spec0.num_players, B), 0, 6,
+        dtype=jnp.int32,
+    )
+    bstep = jax.vmap(step, in_axes=(-1, -1, -1), out_axes=-1)
+
+    @jax.jit
+    def scan_ref(state, actions):
+        def body(st, a):
+            ns, info = bstep(lay, st, a)
+            done = ns.t >= horizon
+            obs = jax.tree.map(
+                lambda fresh, cur: jnp.where(done, fresh, cur),
+                lay.start_state, ns,
+            )
+            return obs, jnp.sum(info.sparse_reward, axis=0)
+
+        final, rewards = jax.lax.scan(body, state, actions)
+        return final, jnp.sum(rewards, axis=0)
+
+    ref_final, ref_ret = scan_ref(state, actions)
+    got_final, got_ret = fused_pool_rollout_actions(
+        spec0, lay, state, actions, horizon=horizon, block_b=BLOCK_B
+    )
+    _assert_states_equal(got_final, ref_final, "pool")
+    np.testing.assert_array_equal(np.asarray(got_ret), np.asarray(ref_ret))
+
+
+def test_fused_pool_train_step_matches_scan_on_device():
+    """Pool training-step kernel (events + shaped + per-lane-terrain
+    encode) vs the XLA pool path, compiled, spot-checked steps."""
+    from overcooked_ai_tpu.core.constants import NUM_EVENTS
+    from overcooked_ai_tpu.core.encoding import lossless_encode
+    from overcooked_ai_tpu.core.step import step
+    from overcooked_ai_tpu.ops.fused_pool import fused_pool_train_step
+    from overcooked_ai_tpu.ops.fused_train import unpack_events
+
+    spec0, lay = _gen_pool(seed=3)
+    P = spec0.num_players
+    horizon = 50
+    bstep = jax.jit(jax.vmap(step, in_axes=(-1, -1, -1), out_axes=-1))
+
+    @jax.jit
+    def ref_obs(state):
+        enc = jax.vmap(
+            lambda l, s: lossless_encode(l, s, horizon=horizon),
+            in_axes=(-1, -1),
+            out_axes=0,
+        )(lay, state)
+        enc = jnp.transpose(enc, (1, 0, 3, 4, 2))
+        return enc.reshape(P * B, spec0.height, spec0.width, 26)
+
+    state_ref = lay.start_state
+    state_fused = state_ref
+    rng = np.random.RandomState(9)
+    check_at = {0, 1, 7, horizon - 1, horizon, horizon + 3}
+    for t in range(horizon + 4):
+        actions = jnp.asarray(
+            rng.choice(6, size=(P, B), p=[0.13, 0.13, 0.13, 0.13, 0.08, 0.4]),
+            jnp.int32,
+        )
+        ns, info = bstep(lay, state_ref, actions)
+        done = ns.t >= horizon
+        state_ref = jax.tree.map(
+            lambda fresh, cur: jnp.where(done, fresh, cur),
+            lay.start_state, ns,
+        )
+        state_fused, obs, sparse, shaped, ev = fused_pool_train_step(
+            spec0, lay, state_fused, actions, horizon=horizon,
+            block_b=BLOCK_B,
+        )
+        if t in check_at:
+            _assert_states_equal(state_fused, state_ref, f"pool t={t}")
+            np.testing.assert_array_equal(
+                np.asarray(sparse), np.asarray(info.sparse_reward)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(shaped), np.asarray(info.shaped_reward)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(unpack_events(ev, NUM_EVENTS)),
+                np.asarray(info.events),
+            )
+            np.testing.assert_array_equal(
+                np.asarray(obs), np.asarray(ref_obs(state_ref))
+            )
+    _assert_states_equal(state_fused, state_ref, "pool final")
+
+
+def test_fused_pool_ppo_iteration_matches_xla_on_device():
+    """One full pool-mode train_iteration, fused vs XLA, compiled on the
+    real chip: identical trajectories -> equal integer reward metrics."""
+    from overcooked_ai_tpu.core.layout_generator import LayoutGenerator
+    from overcooked_ai_tpu.training.ppo import PPOConfig, make_ppo
+
+    gen = LayoutGenerator(
+        outer_shape=(5, 4), prop_empty=0.95, prop_feats=0.1,
+        rng=np.random.RandomState(12),
+    )
+    specs = [gen.generate_spec(name=f"it_{i}") for i in range(16)]
+
+    def one(fused):
+        cfg = PPOConfig(
+            num_envs=1024,
+            horizon=100,
+            sgd_minibatch_size=1024 * 50,
+            num_sgd_iter=2,
+            fused=fused,
+            fused_block_b=1024,
+        )
+        init_fn, train_it = make_ppo(specs, cfg)
+        ts = init_fn(jax.random.PRNGKey(3))
+        ts, m = train_it(ts)
+        return m
+
+    m_x = one(False)
+    m_f = one(True)
+    assert float(m_x.episode_sparse_reward) == float(m_f.episode_sparse_reward)
+    assert float(m_x.episode_shaped_reward) == float(m_f.episode_shaped_reward)
