@@ -67,17 +67,27 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
     assert T % MAX_SEQ_LEN == 0
 
     # ---- fused-rollout eligibility (pallas training-step kernel) ----
-    # Same rules as the feed-forward learner (training/ppo.py): pool mode
-    # is XLA-only; auto mode needs a 128-lane batch. The LSTM learner has
-    # no mesh parameter, so no shard_map wrapping here.
+    # Same rules as the feed-forward learner (training/ppo.py): auto mode
+    # needs a 128-lane batch; pool mode uses the dynamic-terrain kernel
+    # (ops/fused_pool.py) and needs uniform recipe tables across the
+    # pool. The LSTM learner has no mesh parameter, so no shard_map
+    # wrapping here.
     fused_block_b = config.fused_block_b
     if B % fused_block_b != 0:
         fused_block_b = B
     from overcooked_ai_tpu.ops.fused_rollout import _lanes_for
 
     _lanes = _lanes_for(fused_block_b)
+    pool_uniform = True
+    if pool_mode:
+        from overcooked_ai_tpu.ops.fused_pool import check_pool_uniform
+
+        try:
+            check_pool_uniform(specs)
+        except AssertionError:
+            pool_uniform = False
     fused_ok = (
-        not pool_mode and B % _lanes == 0 and B % fused_block_b == 0
+        pool_uniform and B % _lanes == 0 and B % fused_block_b == 0
     )
     # auto mode also requires a backend the kernel can actually run on
     # (tpu compiled, or cpu via interpret) -- see training/ppo.py
@@ -92,7 +102,7 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
         if not fused_ok:
             raise ValueError(
                 "config.fused=True but the fused rollout kernel cannot run "
-                f"this configuration (pool_mode={pool_mode}, B={B}, "
+                f"this configuration (pool_uniform={pool_uniform}, B={B}, "
                 f"block_b={fused_block_b}, lanes={_lanes})"
             )
         fused_enabled = True
@@ -218,12 +228,27 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
 
     def rollout_fused(params, key, shaping_factor, bc_factor):
         """Recurrent rollout with the env side of each step as one pallas
-        kernel (ops/fused_train.py) -- same RNG structure as `rollout`,
+        kernel (ops/fused_train.py, or ops/fused_pool.py's dynamic-
+        terrain kernel in pool mode) -- same RNG structure as `rollout`,
         bit-exact kernel, so identical trajectories for the same seed
         (tests/test_ppo_fused.py::test_lstm_fused_equals_xla)."""
         from overcooked_ai_tpu.ops import fused_train as _ft
 
-        state0 = batch_reset(layout, B)
+        if pool_mode:
+            from overcooked_ai_tpu.ops import fused_pool as _fp
+
+            key, k_pool = jax.random.split(key)  # matches `rollout`
+            pool_idx = jax.random.randint(k_pool, (B,), 0, n_pool)
+            lay = jax.tree.map(
+                lambda leaf: jnp.asarray(leaf)[..., pool_idx], layout_pool
+            )
+            state0 = lay.start_state
+            ptiles = _fp.pool_data_tiles(lay, fused_block_b)
+        else:
+            pool_idx = None
+            lay = layout
+            state0 = batch_reset(layout, B)
+            ptiles = ()
         carry0 = net.initial_carry(N)
         key, k_bc, k_seat = jax.random.split(key, 3)
         if use_bc:
@@ -233,14 +258,35 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
         train_mask = (~bc_mask).reshape(N).astype(jnp.float32)
 
         tiles0 = _ft.state_to_tiles(spec, state0, _lanes)
-        enc0 = encode(layout, state0)  # (B, P, 26, H, W)
+        enc0 = encode(lay, state0)  # (B, P, 26, H, W)
         enc0 = jnp.transpose(enc0, (1, 0, 3, 4, 2))
         obs0 = enc0.reshape(N, height, width, 26).astype(jnp.int8)
+
+        def phi_of(state):
+            if pool_mode:
+                return potential_fn(pool_idx, lay, state)
+            return potential_fn(lay, state)
+
         phi0 = (
-            potential_fn(layout, state0)
+            phi_of(state0)
             if config.use_phi
             else jnp.zeros((B,), jnp.float32)
         )
+
+        def _env_step_call(tiles, act_tiles):
+            if pool_mode:
+                return _fp.fused_pool_train_step_tiles(
+                    spec, ptiles, tiles, act_tiles,
+                    horizon=T, block_b=fused_block_b,
+                    interpret=fused_interpret,
+                    reset_horizon=T + 1,  # fixed-length episodes
+                )
+            return _ft.fused_train_step_tiles(
+                spec, tiles, act_tiles,
+                horizon=T, block_b=fused_block_b,
+                interpret=fused_interpret,
+                reset_horizon=T + 1,  # fixed-length episodes, no auto-reset
+            )
 
         def body(carry, key_t):
             tiles, obs, lstm_carry, phi_s = carry
@@ -255,24 +301,21 @@ def make_ppo_lstm(spec, config: PPOConfig, bc_policy=None,
             actions_pb = action.reshape(num_players, B)
             if use_bc:
                 state = _ft.tiles_to_state(spec, tiles)
-                bc_actions = bc_policy(key_b, layout, state)  # (P, B)
+                if pool_mode:
+                    bc_actions = bc_policy(key_b, lay, state, pool_idx)
+                else:
+                    bc_actions = bc_policy(key_b, lay, state)  # (P, B)
                 actions_pb = jnp.where(bc_mask, bc_actions, actions_pb)
             act_tiles = actions_pb.reshape(num_players, B // _lanes, _lanes)
-            tiles, obs_t, sparse, shaped, _ev = _ft.fused_train_step_tiles(
-                spec,
-                tiles,
-                act_tiles,
-                horizon=T,
-                block_b=fused_block_b,
-                interpret=fused_interpret,
-                reset_horizon=T + 1,  # fixed-length episodes, no auto-reset
+            tiles, obs_t, sparse, shaped, _ev = _env_step_call(
+                tiles, act_tiles
             )
             obs_next = _ft.obs_tiles_to_nhwc(spec, obs_t).astype(jnp.int8)
             sparse = sparse.reshape(num_players, B)
             shaped = shaped.reshape(num_players, B)
             sparse_sum = jnp.sum(sparse, axis=0)
             if config.use_phi:
-                phi_sp = potential_fn(layout, _ft.tiles_to_state(spec, tiles))
+                phi_sp = phi_of(_ft.tiles_to_state(spec, tiles))
                 dense = jnp.broadcast_to(
                     (phi_sp - phi_s)[None], (num_players, B)
                 )

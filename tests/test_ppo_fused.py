@@ -277,3 +277,37 @@ def test_lstm_fused_equals_xla(use_phi):
             float(getattr(m_x, name)), float(getattr(m_f, name)),
             rtol=2e-3, atol=1e-5, err_msg=name,
         )
+
+
+@pytest.mark.skipif(
+    os.environ.get("OVERCOOKED_SLOW_TESTS") != "1",
+    reason="two recurrent pool builds ~2.5 min; set OVERCOOKED_SLOW_TESTS=1",
+)
+def test_lstm_pool_fused_equals_xla():
+    """The recurrent learner's pool-mode fused rollout == its XLA pool
+    rollout (per-lane layout gather + dynamic-terrain kernel)."""
+    from overcooked_ai_tpu.core.layout_generator import LayoutGenerator
+    from overcooked_ai_tpu.training.ppo_lstm import make_ppo_lstm
+
+    gen = LayoutGenerator(
+        outer_shape=(5, 4), rng=np.random.RandomState(8)
+    )
+    specs = [gen.generate_spec(name=f"l{i}") for i in range(4)]
+
+    def one(fused):
+        cfg = _cfg(fused=fused, horizon=40,
+                   sgd_minibatch_size=B * 40 // 2)
+        init_fn, train_it = make_ppo_lstm(specs, cfg)
+        ts = init_fn(jax.random.PRNGKey(13))
+        ts, m = train_it(ts)
+        return m
+
+    m_x = one(False)
+    m_f = one(True)
+    assert float(m_x.episode_sparse_reward) == float(m_f.episode_sparse_reward)
+    assert float(m_x.episode_shaped_reward) == float(m_f.episode_shaped_reward)
+    for name in ("policy_loss", "vf_loss", "kl", "entropy"):
+        np.testing.assert_allclose(
+            float(getattr(m_x, name)), float(getattr(m_f, name)),
+            rtol=2e-3, atol=1e-5, err_msg=name,
+        )
